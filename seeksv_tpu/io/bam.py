@@ -1,0 +1,417 @@
+"""BAM/SAM decoding into structure-of-arrays batches.
+
+Replaces the reference's bundled samtools-0.1.x C API (ref: sam/bam.h,
+sam/sam.h): instead of streaming one `bam1_t` at a time, the whole file is
+decoded into flat numpy arrays (one entry per record, ragged payloads stored
+as concatenated blobs + offset arrays).  This is the layout every vectorized
+/ JAX stage of the framework consumes.
+
+A native C++ decoder (csrc/seeksv_native.cpp) is used when available; this
+module also contains a pure-python fallback with identical output.
+"""
+from __future__ import annotations
+
+import gzip
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# BAM flag bits (ref: sam/bam.h:56-77)
+FPAIRED = 0x1
+FPROPER_PAIR = 0x2
+FUNMAP = 0x4
+FMUNMAP = 0x8
+FREVERSE = 0x10
+FMREVERSE = 0x20
+FREAD1 = 0x40
+FREAD2 = 0x80
+FSECONDARY = 0x100
+FQCFAIL = 0x200
+FDUP = 0x400
+FSUPPLEMENTARY = 0x800
+
+# default mask used by the samtools pileup engine (ref: sam/bam.h:124)
+DEF_MASK = FUNMAP | FSECONDARY | FQCFAIL | FDUP
+
+# CIGAR op codes (ref: sam/bam.h:99-110) and their display characters
+CIGAR_CHARS = b"MIDNSHP=X"
+OP_M, OP_I, OP_D, OP_N, OP_S, OP_H, OP_P, OP_EQ, OP_X = range(9)
+
+# 4-bit nucleotide code -> ASCII (ref: sam/bam.h bam_nt16_rev_table)
+SEQ_NT16 = b"=ACMGRSVTWYHKDBN"
+_NT16_ARR = np.frombuffer(SEQ_NT16, dtype=np.uint8)
+# byte -> two decoded ASCII chars
+_NIB2 = np.zeros((256, 2), dtype=np.uint8)
+for _b in range(256):
+    _NIB2[_b, 0] = _NT16_ARR[_b >> 4]
+    _NIB2[_b, 1] = _NT16_ARR[_b & 0xF]
+
+_CHAR2OP = {c: i for i, c in enumerate(CIGAR_CHARS)}
+
+
+@dataclass
+class BamRecords:
+    """Structure-of-arrays view of a decoded BAM/SAM file."""
+
+    ref_names: List[str]
+    ref_lens: List[int]
+    n: int
+    flag: np.ndarray      # uint16 -> int32 [n]
+    tid: np.ndarray       # int32 [n]
+    pos: np.ndarray       # int32 [n] (0-based)
+    mapq: np.ndarray      # int32 [n]
+    mtid: np.ndarray      # int32 [n]
+    mpos: np.ndarray      # int32 [n] (0-based)
+    isize: np.ndarray     # int32 [n]
+    l_qseq: np.ndarray    # int32 [n]
+    qnames: List[bytes]
+    cig: np.ndarray       # uint32 concat (len<<4|op), bam encoding
+    cig_off: np.ndarray   # int64 [n+1]
+    seq: np.ndarray       # uint8 ASCII concat
+    qual: np.ndarray      # uint8 raw phred concat (0xff = missing)
+    seq_off: np.ndarray   # int64 [n+1]
+    xc: np.ndarray        # int32 [n]; XC aux tag value, 0 when absent
+
+    # ---- per-record accessors (host-side passes) ----
+    def cigar(self, i: int) -> np.ndarray:
+        return self.cig[self.cig_off[i]:self.cig_off[i + 1]]
+
+    def cigar_pairs(self, i: int) -> List[Tuple[int, int]]:
+        c = self.cigar(i)
+        return [(int(x) >> 4, int(x) & 0xF) for x in c]
+
+    def seq_bytes(self, i: int) -> bytes:
+        return self.seq[self.seq_off[i]:self.seq_off[i + 1]].tobytes()
+
+    def qual_raw(self, i: int) -> np.ndarray:
+        return self.qual[self.seq_off[i]:self.seq_off[i + 1]]
+
+    def qual_str(self, i: int) -> bytes:
+        """Phred+33 string; '*' when quality is missing (0xff sentinel).
+
+        ref: clip_reads.cpp:296-301 (GetSeq) / :383-384 (GetSeqAndQual).
+        """
+        q = self.qual_raw(i)
+        if len(q) and q[0] == 0xFF:
+            return b"*"
+        return (q + 33).astype(np.uint8).tobytes()
+
+    def ref_name(self, tid: int) -> str:
+        return self.ref_names[tid]
+
+    # vectorized helpers -------------------------------------------------
+    def first_op(self) -> np.ndarray:
+        """CIGAR op code of the first op per record (-1 when no cigar)."""
+        out = np.full(self.n, -1, dtype=np.int32)
+        has = self.cig_off[1:] > self.cig_off[:-1]
+        idx = self.cig_off[:-1][has]
+        out[has] = (self.cig[idx] & 0xF).astype(np.int32)
+        return out
+
+    def last_op(self) -> np.ndarray:
+        out = np.full(self.n, -1, dtype=np.int32)
+        has = self.cig_off[1:] > self.cig_off[:-1]
+        idx = self.cig_off[1:][has] - 1
+        out[has] = (self.cig[idx] & 0xF).astype(np.int32)
+        return out
+
+    def first_len(self) -> np.ndarray:
+        out = np.zeros(self.n, dtype=np.int32)
+        has = self.cig_off[1:] > self.cig_off[:-1]
+        out[has] = (self.cig[self.cig_off[:-1][has]] >> 4).astype(np.int32)
+        return out
+
+    def last_len(self) -> np.ndarray:
+        out = np.zeros(self.n, dtype=np.int32)
+        has = self.cig_off[1:] > self.cig_off[:-1]
+        out[has] = (self.cig[self.cig_off[1:][has] - 1] >> 4).astype(np.int32)
+        return out
+
+    def ref_span(self, count_x: bool = True) -> np.ndarray:
+        """Reference-consumed length per record.
+
+        count_x=True  -> M/D/N/=/X (bam_calend semantics, used for window
+                         overlap & coverage extents)
+        count_x=False -> M/D/N/=   (GenerateCigar's `l`, ref:
+                         clip_reads.cpp:322 — X is *not* counted there)
+        """
+        ops = (self.cig & 0xF).astype(np.int32)
+        lens = (self.cig >> 4).astype(np.int64)
+        consume = (ops == OP_M) | (ops == OP_D) | (ops == OP_N) | (ops == OP_EQ)
+        if count_x:
+            consume |= ops == OP_X
+        vals = np.where(consume, lens, 0)
+        csum = np.concatenate([[0], np.cumsum(vals)])
+        return (csum[self.cig_off[1:]] - csum[self.cig_off[:-1]]).astype(np.int32)
+
+
+def _parse_header_text(text: str) -> Tuple[List[str], List[int]]:
+    names, lens = [], []
+    for line in text.split("\n"):
+        if line.startswith("@SQ"):
+            name, ln = None, 0
+            for fld in line.split("\t")[1:]:
+                if fld.startswith("SN:"):
+                    name = fld[3:]
+                elif fld.startswith("LN:"):
+                    ln = int(fld[3:])
+            if name is not None:
+                names.append(name)
+                lens.append(ln)
+    return names, lens
+
+
+def _aux_xc(buf: memoryview) -> int:
+    """Scan a BAM aux blob for the XC integer tag (bwa's low-quality-clip
+    marker, ref: clip_reads.cpp:126-129).  Returns 0 when absent, matching
+    bam_aux2i(NULL) (ref: sam/bam_aux.c semantics)."""
+    i, n = 0, len(buf)
+    xc = 0
+    while i + 3 <= n:
+        tag = bytes(buf[i:i + 2])
+        typ = buf[i + 2]
+        i += 3
+        if typ in (0x41, 0x63, 0x43):      # A, c, C
+            val = buf[i] if typ != 0x63 else struct.unpack_from("<b", buf, i)[0]
+            size = 1
+        elif typ in (0x73, 0x53):          # s, S
+            val = struct.unpack_from("<h" if typ == 0x73 else "<H", buf, i)[0]
+            size = 2
+        elif typ in (0x69, 0x49, 0x66):    # i, I, f
+            val = struct.unpack_from("<i" if typ == 0x69 else ("<I" if typ == 0x49 else "<f"), buf, i)[0]
+            size = 4
+        elif typ in (0x5A, 0x48):          # Z, H
+            j = i
+            while j < n and buf[j] != 0:
+                j += 1
+            val, size = 0, j - i + 1
+        elif typ == 0x42:                  # B array
+            sub = buf[i]
+            cnt = struct.unpack_from("<i", buf, i + 1)[0]
+            esz = {0x63: 1, 0x43: 1, 0x73: 2, 0x53: 2, 0x69: 4, 0x49: 4, 0x66: 4}[sub]
+            val, size = 0, 5 + cnt * esz
+        else:
+            break
+        if tag == b"XC" and typ in (0x63, 0x43, 0x73, 0x53, 0x69, 0x49):
+            xc = int(val)
+        i += size
+    return xc
+
+
+def decode_bgzf(path: str) -> bytes:
+    """Decompress a BGZF (or plain gzip) file fully into memory.
+
+    BGZF is a series of concatenated gzip members, which python's gzip/zlib
+    handle natively; no virtual-offset machinery is needed because every
+    pass in this framework is whole-file vectorized, with random access
+    replaced by in-memory gathers (SURVEY.md §2 call-out)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    out = []
+    d = zlib.decompressobj(wbits=31)
+    data = raw
+    while data:
+        out.append(d.decompress(data))
+        data = d.unused_data
+        if not data:
+            break
+        d = zlib.decompressobj(wbits=31)
+    return b"".join(out)
+
+
+def read_bam_python(path: str) -> BamRecords:
+    """Pure-python BAM decoder (fallback path; same contract as native)."""
+    blob = decode_bgzf(path)
+    if blob[:4] != b"BAM\x01":
+        raise ValueError(f"{path}: not a BAM file")
+    off = 4
+    (l_text,) = struct.unpack_from("<i", blob, off)
+    off += 4
+    text = blob[off:off + l_text].split(b"\x00")[0].decode()
+    off += l_text
+    (n_ref,) = struct.unpack_from("<i", blob, off)
+    off += 4
+    ref_names, ref_lens = [], []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", blob, off)
+        off += 4
+        ref_names.append(blob[off:off + l_name - 1].decode())
+        off += l_name
+        (l_ref,) = struct.unpack_from("<i", blob, off)
+        off += 4
+        ref_lens.append(l_ref)
+
+    hdr = struct.Struct("<iiiBBHHHiiii")
+    flags, tids, poss, mapqs, mtids, mposs, isizes, lqs = ([] for _ in range(8))
+    qnames: List[bytes] = []
+    cig_parts: List[np.ndarray] = []
+    cig_counts: List[int] = []
+    seq_parts: List[np.ndarray] = []
+    qual_parts: List[np.ndarray] = []
+    xcs: List[int] = []
+    mv = memoryview(blob)
+    n_total = len(blob)
+    while off + 4 <= n_total:
+        (block_size,) = struct.unpack_from("<i", blob, off)
+        off += 4
+        end = off + block_size
+        (tid, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq, mtid, mpos,
+         tlen) = struct.unpack_from("<iiBBHHHiiii", blob, off)
+        p = off + 32
+        qnames.append(bytes(mv[p:p + l_read_name - 1]))
+        p += l_read_name
+        cig = np.frombuffer(blob, dtype="<u4", count=n_cigar, offset=p)
+        p += 4 * n_cigar
+        npk = (l_seq + 1) // 2
+        packed = np.frombuffer(blob, dtype=np.uint8, count=npk, offset=p)
+        seq_ascii = _NIB2[packed].reshape(-1)[:l_seq]
+        p += npk
+        qual = np.frombuffer(blob, dtype=np.uint8, count=l_seq, offset=p)
+        p += l_seq
+        xcs.append(_aux_xc(mv[p:end]) if end > p else 0)
+        flags.append(flag)
+        tids.append(tid)
+        poss.append(pos)
+        mapqs.append(mapq)
+        mtids.append(mtid)
+        mposs.append(mpos)
+        isizes.append(tlen)
+        lqs.append(l_seq)
+        cig_parts.append(cig)
+        cig_counts.append(n_cigar)
+        seq_parts.append(seq_ascii)
+        qual_parts.append(qual)
+        off = end
+
+    n = len(flags)
+    cig_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cig_counts, out=cig_off[1:])
+    seq_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lqs, out=seq_off[1:])
+    return BamRecords(
+        ref_names=ref_names, ref_lens=ref_lens, n=n,
+        flag=np.asarray(flags, np.int32), tid=np.asarray(tids, np.int32),
+        pos=np.asarray(poss, np.int32), mapq=np.asarray(mapqs, np.int32),
+        mtid=np.asarray(mtids, np.int32), mpos=np.asarray(mposs, np.int32),
+        isize=np.asarray(isizes, np.int32), l_qseq=np.asarray(lqs, np.int32),
+        qnames=qnames,
+        cig=np.concatenate(cig_parts) if cig_parts else np.zeros(0, np.uint32),
+        cig_off=cig_off,
+        seq=np.concatenate(seq_parts) if seq_parts else np.zeros(0, np.uint8),
+        qual=np.concatenate(qual_parts) if qual_parts else np.zeros(0, np.uint8),
+        seq_off=seq_off,
+        xc=np.asarray(xcs, np.int32),
+    )
+
+
+def cigar_str_to_ops(cigar: str) -> np.ndarray:
+    """'10M2S' -> bam-encoded uint32 ops ('*' -> empty)."""
+    if cigar == "*":
+        return np.zeros(0, dtype=np.uint32)
+    ops = []
+    num = 0
+    for ch in cigar.encode():
+        if 0x30 <= ch <= 0x39:
+            num = num * 10 + (ch - 0x30)
+        else:
+            ops.append((num << 4) | _CHAR2OP[ch])
+            num = 0
+    return np.asarray(ops, dtype=np.uint32)
+
+
+def read_sam_text(path: str) -> BamRecords:
+    """Parse a SAM text file (used for realigned clip sequences; the
+    reference accepts SAM there too, ref: getsv.h:439-443)."""
+    if path.endswith(".gz"):
+        fh = gzip.open(path, "rt")
+    else:
+        fh = open(path, "rt")
+    ref_names: List[str] = []
+    ref_lens: List[int] = []
+    name2tid = {}
+    flags, tids, poss, mapqs, mtids, mposs, isizes, lqs = ([] for _ in range(8))
+    qnames: List[bytes] = []
+    cig_parts: List[np.ndarray] = []
+    seq_parts: List[np.ndarray] = []
+    qual_parts: List[np.ndarray] = []
+    xcs: List[int] = []
+    with fh:
+        for line in fh:
+            if line.startswith("@"):
+                if line.startswith("@SQ"):
+                    nm, ln = None, 0
+                    for fld in line.rstrip("\n").split("\t")[1:]:
+                        if fld.startswith("SN:"):
+                            nm = fld[3:]
+                        elif fld.startswith("LN:"):
+                            ln = int(fld[3:])
+                    if nm is not None:
+                        name2tid[nm] = len(ref_names)
+                        ref_names.append(nm)
+                        ref_lens.append(ln)
+                continue
+            f = line.rstrip("\n").split("\t")
+            qnames.append(f[0].encode())
+            flag = int(f[1])
+            flags.append(flag)
+            tids.append(name2tid.get(f[2], -1))
+            poss.append(int(f[3]) - 1)
+            mapqs.append(int(f[4]))
+            cig_parts.append(cigar_str_to_ops(f[5]))
+            mtids.append(tids[-1] if f[6] == "=" else name2tid.get(f[6], -1))
+            mposs.append(int(f[7]) - 1)
+            isizes.append(int(f[8]))
+            seq = f[9]
+            if seq == "*":
+                seq_arr = np.zeros(0, np.uint8)
+                l_seq = 0
+            else:
+                seq_arr = np.frombuffer(seq.upper().encode(), np.uint8).copy()
+                l_seq = len(seq)
+            lqs.append(l_seq)
+            seq_parts.append(seq_arr)
+            if f[10] == "*":
+                qual_parts.append(np.full(l_seq, 0xFF, np.uint8))
+            else:
+                qual_parts.append(
+                    np.frombuffer(f[10].encode(), np.uint8) - np.uint8(33))
+            xc = 0
+            for tag in f[11:]:
+                if tag.startswith("XC:i:"):
+                    xc = int(tag[5:])
+            xcs.append(xc)
+    n = len(flags)
+    cig_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(c) for c in cig_parts], out=cig_off[1:])
+    seq_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lqs, out=seq_off[1:])
+    return BamRecords(
+        ref_names=ref_names, ref_lens=ref_lens, n=n,
+        flag=np.asarray(flags, np.int32), tid=np.asarray(tids, np.int32),
+        pos=np.asarray(poss, np.int32), mapq=np.asarray(mapqs, np.int32),
+        mtid=np.asarray(mtids, np.int32), mpos=np.asarray(mposs, np.int32),
+        isize=np.asarray(isizes, np.int32), l_qseq=np.asarray(lqs, np.int32),
+        qnames=qnames,
+        cig=np.concatenate(cig_parts) if cig_parts else np.zeros(0, np.uint32),
+        cig_off=cig_off,
+        seq=np.concatenate(seq_parts) if seq_parts else np.zeros(0, np.uint8),
+        qual=np.concatenate(qual_parts) if qual_parts else np.zeros(0, np.uint8),
+        seq_off=seq_off,
+        xc=np.asarray(xcs, np.int32),
+    )
+
+
+def read_bam(path: str) -> BamRecords:
+    """Decode a BAM or SAM file into SoA form (native decoder when built)."""
+    if path.endswith(".bam"):
+        try:
+            from . import native
+            if native.available():
+                return native.read_bam_native(path)
+        except ImportError:
+            pass
+        return read_bam_python(path)
+    return read_sam_text(path)
