@@ -1,0 +1,153 @@
+"""Command-line interface mirroring the reference's subcommands and flags
+(ref: seeksv.cpp:26-457), plus framework-native extras:
+
+  seeksv-tpu getclip  [-t -q -s -o] <input.sorted.bam>
+  seeksv-tpu getsv    [-F -B -t -l -q -Q -w -n -b -d -D -e -m -i -f -T -L]
+                      <clip.bam|sam> <original.bam> <clip.gz> <out.sv> <out.unmapped.fq>
+  seeksv-tpu somatic  [-t -q -l -m -n] <normal.bam> <normal.clip.gz> <tumor.sv> <out.somatic.sv>
+  seeksv-tpu somatic-filter <somatic.temp.sv> <out.somatic.sv>   (the awk step)
+  seeksv-tpu aln      [-k ...] <ref.fa> <reads.fq.gz> <out.sam>  (in-framework realigner)
+  seeksv-tpu vcf      <breakpoint.sv> <template.vcf> <out.vcf>
+  seeksv-tpu compare  ...                                         (svcompare equivalent)
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_getclip(sub):
+    p = sub.add_parser("getclip", help="get soft-clipped reads")
+    p.add_argument("-t", type=float, default=0.85, dest="threshold",
+                   help="match-rate threshold for combining clips [0.85]")
+    p.add_argument("-q", type=int, default=20, dest="min_mapq",
+                   help="min mapping quality of soft-clipped reads [20]")
+    p.add_argument("-s", action="store_true", dest="save_low_quality",
+                   help="keep low-quality (XC-tagged) clips")
+    p.add_argument("-o", default="output", dest="prefix")
+    p.add_argument("bam")
+
+
+def _add_getsv(sub):
+    p = sub.add_parser("getsv", help="call SV junctions")
+    p.add_argument("-F", dest="connect_bam", default=None)
+    p.add_argument("-B", dest="temp_breakpoint", default=None)
+    p.add_argument("-t", type=float, default=0.9, dest="threshold")
+    p.add_argument("-l", type=int, default=50, dest="flank",
+                   help="microhomology search length [50], 0-90")
+    p.add_argument("-q", type=int, default=20, dest="min_mapq")
+    p.add_argument("-Q", type=int, default=1, dest="min_mapq1",
+                   help="(accepted for compatibility; unused in the "
+                        "reference's v1.2.3 code path)")
+    p.add_argument("-w", type=int, default=1, dest="min_mapq2")
+    p.add_argument("-n", type=int, default=5_000_000, dest="read_pair_used")
+    p.add_argument("-b", type=int, default=3, dest="sum_min_both_clip")
+    p.add_argument("-d", type=int, default=50, dest="min_distance")
+    p.add_argument("-D", action="store_true", dest="no_depth")
+    p.add_argument("-e", type=int, default=0, dest="min_abnormal")
+    p.add_argument("-f", type=float, default=0.1, dest="frequency")
+    p.add_argument("-T", type=int, default=50, dest="max_microhomology")
+    p.add_argument("-m", type=int, default=30, dest="min_seq_len")
+    p.add_argument("-i", type=int, default=1, dest="max_seq_indel_no")
+    p.add_argument("-L", type=int, default=200, dest="flank_length")
+    p.add_argument("clip_bam")
+    p.add_argument("original_bam")
+    p.add_argument("clip_gz")
+    p.add_argument("sv_out")
+    p.add_argument("unmapped_fq_out")
+
+
+def _add_somatic(sub):
+    p = sub.add_parser("somatic", help="tumor/normal subtraction")
+    p.add_argument("-t", type=float, default=0.85, dest="min_map_rate")
+    p.add_argument("-q", type=int, default=20, dest="min_mapq")
+    p.add_argument("-l", type=int, default=30, dest="offset")
+    p.add_argument("-m", type=int, default=10, dest="min_len_of_clipped_seq")
+    p.add_argument("-n", type=int, default=5_000_000, dest="read_pair_used")
+    p.add_argument("normal_bam")
+    p.add_argument("normal_clip_gz")
+    p.add_argument("tumor_sv")
+    p.add_argument("somatic_out")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="seeksv-tpu",
+        description="TPU-native structural variation and virus integration "
+                    "detection")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    _add_getclip(sub)
+    _add_getsv(sub)
+    _add_somatic(sub)
+    pf = sub.add_parser("somatic-filter",
+                        help="keep rows whose control columns are all 0")
+    pf.add_argument("temp_sv")
+    pf.add_argument("out_sv")
+    pa = sub.add_parser("aln", help="realign clipped sequences (in-framework)")
+    pa.add_argument("-k", type=int, default=19, dest="min_seed_len")
+    pa.add_argument("ref_fa")
+    pa.add_argument("reads_fq")
+    pa.add_argument("out_sam")
+    pv = sub.add_parser("vcf", help="breakpoint file -> VCF BND records")
+    pv.add_argument("breakpoint")
+    pv.add_argument("template_vcf", nargs="?", default=None)
+    pv.add_argument("out_vcf")
+    pc = sub.add_parser("compare", help="compare SV result files")
+    pc.add_argument("mode", choices=["simu", "crest", "seeksv"])
+    pc.add_argument("-l", type=int, default=50, dest="fuzz")
+    pc.add_argument("-n", dest="n_region_file", default=None)
+    pc.add_argument("control")
+    pc.add_argument("target")
+    pc.add_argument("out_prefix")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "getclip":
+        from .pipeline.getclip import getclip
+        getclip(args.bam, args.prefix, threshold=args.threshold,
+                min_mapq=args.min_mapq, save_low_quality=args.save_low_quality)
+    elif args.cmd == "getsv":
+        if args.flank > 90 or args.flank < 0 or args.min_seq_len < 0:
+            parser.error("-l must be in [0, 90] and -m >= 0")
+        from .pipeline.getsv import getsv
+        getsv(args.clip_bam, args.original_bam, args.clip_gz, args.sv_out,
+              args.unmapped_fq_out, threshold=args.threshold, flank=args.flank,
+              min_mapq=args.min_mapq, read_pair_used=args.read_pair_used,
+              sum_min_both_clip=args.sum_min_both_clip,
+              min_distance=args.min_distance, min_abnormal=args.min_abnormal,
+              frequency=args.frequency,
+              max_microhomology=args.max_microhomology,
+              min_seq_len=args.min_seq_len,
+              max_seq_indel_no=args.max_seq_indel_no,
+              flank_length=args.flank_length, output_depth=not args.no_depth,
+              temp_breakpoint=args.temp_breakpoint,
+              connect_bam=args.connect_bam, connect_min_mapq=args.min_mapq2,
+              log=lambda *a: print(*a, file=sys.stderr))
+    elif args.cmd == "somatic":
+        if args.offset >= 90 or args.offset < 0:
+            parser.error("-l must be in range [0, 90)")
+        from .pipeline.somatic import somatic
+        somatic(args.normal_bam, args.normal_clip_gz, args.tumor_sv,
+                args.somatic_out, min_map_rate=args.min_map_rate,
+                min_mapq=args.min_mapq, offset=args.offset,
+                min_len_of_clipped_seq=args.min_len_of_clipped_seq,
+                read_pair_used=args.read_pair_used)
+    elif args.cmd == "somatic-filter":
+        from .pipeline.somatic import somatic_filter
+        somatic_filter(args.temp_sv, args.out_sv)
+    elif args.cmd == "aln":
+        from .align.engine import align_fastq_to_sam
+        align_fastq_to_sam(args.ref_fa, args.reads_fq, args.out_sam,
+                           min_seed_len=args.min_seed_len)
+    elif args.cmd == "vcf":
+        from .pipeline.vcf import breakpoint_to_vcf
+        breakpoint_to_vcf(args.breakpoint, args.template_vcf, args.out_vcf)
+    elif args.cmd == "compare":
+        from .pipeline.svcompare import compare
+        compare(args.mode, args.control, args.target, args.out_prefix,
+                fuzz=args.fuzz, n_region_file=args.n_region_file)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
