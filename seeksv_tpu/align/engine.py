@@ -1,0 +1,246 @@
+"""Seed-and-extend alignment engine (the in-framework replacement for the
+external `bwa mem` realignment step, ref: README.md:22-34, SURVEY.md §7
+phase 3).
+
+Per read: exact k-mer seeds from KmerIndex -> diagonal chains -> anchored
+left/right extension (sw.extend_score, bwa-mem clip/extend decision with
+pen_clip=5) -> banded global traceback on the chosen extents -> mapq via
+the bwa-mem approximation.  Output filter: local score < T(30) -> unmapped,
+mirroring `bwa mem` defaults so the downstream junction caller sees the
+same mapped/unmapped/repeat classes.
+"""
+from __future__ import annotations
+
+import gzip
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..io.fasta import read_fasta
+from .index import ENCODE, KmerIndex
+from .sw import (GAP_EXT, GAP_OPEN, MATCH, MISMATCH, PEN_CLIP,
+                 extend_score, global_align)
+
+MIN_SEED_LEN = 19
+SCORE_T = 30
+MAX_OCC = 500
+MAPQ_COEF_LEN = 50
+MAPQ_COEF_FAC = math.log(MAPQ_COEF_LEN)
+
+_RC = np.arange(256, dtype=np.uint8)
+for _a, _b in zip(b"ACGTacgt", b"TGCATGCA"):
+    _RC[_a] = _b
+
+
+@dataclass
+class Alignment:
+    mapped: bool
+    tid: int = -1
+    pos: int = 0          # 0-based leftmost ref position
+    strand: int = 0       # 0 fwd, 1 rev
+    cigar: List[Tuple[int, str]] = None
+    score: int = 0
+    sub: int = 0
+    sub_n: int = 0
+    mapq: int = 0
+    nm: int = 0
+
+
+class Aligner:
+    def __init__(self, index: KmerIndex):
+        self.idx = index
+
+    @classmethod
+    def from_fasta(cls, path: str, k: int = MIN_SEED_LEN) -> "Aligner":
+        return cls(KmerIndex.build(read_fasta(path), k=k))
+
+    # ---- seeding ----
+    def _candidates(self, codes: np.ndarray) -> List[Tuple[int, int, int, int]]:
+        """Returns [(diag_ref_start, q_anchor_start, anchor_len, votes)]:
+        diagonal clusters of exact k-mer hits."""
+        offs, hashes = self.idx.hash_read(codes)
+        if len(offs) == 0:
+            return []
+        lo, hi = self.idx.lookup(hashes)
+        counts = hi - lo
+        keep = (counts > 0) & (counts <= MAX_OCC)
+        if not keep.any():
+            return []
+        diags: Dict[int, List[int]] = {}
+        for o, l, h in zip(offs[keep], lo[keep], hi[keep]):
+            for p in self.idx.positions[l:h]:
+                diags.setdefault(int(p) - int(o), []).append(int(o))
+        out = []
+        for d, qoffs in diags.items():
+            qoffs.sort()
+            # longest run of consecutive offsets = maximal exact anchor
+            best_start, best_len = qoffs[0], 1
+            cur_start, cur_len = qoffs[0], 1
+            for a, b in zip(qoffs, qoffs[1:]):
+                if b == a + 1:
+                    cur_len += 1
+                else:
+                    cur_start, cur_len = b, 1
+                if cur_len > best_len:
+                    best_start, best_len = cur_start, cur_len
+            anchor_len = best_len + self.idx.k - 1
+            out.append((d, best_start, anchor_len, len(qoffs)))
+        out.sort(key=lambda t: (-t[3], t[0]))
+        return out[:8]
+
+    def _extend_candidate(self, codes, diag, q_start, anchor_len):
+        """Anchored extension (ref role: bwa mem_chain2aln)."""
+        idx = self.idx
+        n = len(codes)
+        ref_anchor = diag + q_start
+        tid = idx.tid_of(ref_anchor)
+        if tid < 0:
+            return None
+        c_lo = int(idx.chrom_starts[tid])
+        c_hi = int(idx.chrom_starts[tid + 1])
+        h0 = anchor_len * MATCH
+        # left extension (reversed)
+        lq = codes[:q_start][::-1]
+        max_lt = q_start + 100
+        t_lo = max(c_lo, ref_anchor - max_lt)
+        lt = idx.ref[t_lo:ref_anchor][::-1]
+        le = extend_score(lq, lt, h0)
+        if le.gscore <= 0 or le.gscore <= le.max_score - PEN_CLIP:
+            qb = q_start - le.qle
+            rb = ref_anchor - le.tle
+            score_after_left = le.max_score
+        else:
+            qb = 0
+            rb = ref_anchor - le.gtle
+            score_after_left = le.gscore
+        # right extension seeded with the left-extension score
+        q_end0 = q_start + anchor_len
+        rq = codes[q_end0:]
+        ref_end0 = ref_anchor + anchor_len
+        t_hi = min(c_hi, ref_end0 + len(rq) + 100)
+        rt = idx.ref[ref_end0:t_hi]
+        re_ = extend_score(rq, rt, score_after_left)
+        if re_.gscore <= 0 or re_.gscore <= re_.max_score - PEN_CLIP:
+            qe = q_end0 + re_.qle
+            rend = ref_end0 + re_.tle
+            final = re_.max_score
+        else:
+            qe = n
+            rend = ref_end0 + re_.gtle
+            final = re_.gscore
+        return (final, re_.max_score, tid, qb, qe, rb, rend)
+
+    def align(self, seq: bytes) -> Alignment:
+        fwd = ENCODE[np.frombuffer(seq, np.uint8)]
+        rev = fwd[::-1].copy()
+        rev = np.where(rev < 4, 3 - rev, 4).astype(np.uint8)
+        n = len(fwd)
+        results = []
+        for strand, codes in ((0, fwd), (1, rev)):
+            for diag, q_start, anchor_len, _votes in self._candidates(codes):
+                r = self._extend_candidate(codes, diag, q_start, anchor_len)
+                if r is not None:
+                    results.append((strand,) + r)
+        if not results:
+            return Alignment(False)
+        # rank by local-max score; deterministic tie-break: fwd strand,
+        # then leftmost reference position
+        results.sort(key=lambda t: (-t[2], t[0], t[6]))
+        best = results[0]
+        strand, final, local_max, tid, qb, qe, rb, rend = best
+        if local_max < SCORE_T:
+            return Alignment(False)
+        # second-best among candidates with a different ref interval
+        sub = 0
+        sub_n = 0
+        for r in results[1:]:
+            if (r[3], r[6], r[7]) == (tid, rb, rend) and r[0] == strand:
+                continue
+            if sub == 0:
+                sub = r[2]
+            if r[2] >= local_max - MIN_SEED_LEN:
+                sub_n += 1
+        codes = fwd if strand == 0 else rev
+        gs, cigar = global_align(codes[qb:qe], self.idx.ref[rb:rend])
+        # NM: recompute from the alignment path
+        nm = self._nm(codes[qb:qe], self.idx.ref[rb:rend], cigar)
+        if qb > 0:
+            cigar = [(qb, "S")] + cigar
+        if qe < n:
+            cigar = cigar + [(n - qe, "S")]
+        mapq = self._mapq(local_max, sub, sub_n, qe - qb, rend - rb)
+        return Alignment(True, tid, rb - int(self.idx.chrom_starts[tid]),
+                         strand, cigar, local_max, sub, sub_n, mapq, nm)
+
+    @staticmethod
+    def _nm(q, t, cigar) -> int:
+        qi = ti = nm = 0
+        for ln, op in cigar:
+            if op == "M":
+                nm += int(np.count_nonzero(q[qi:qi + ln] != t[ti:ti + ln]))
+                qi += ln
+                ti += ln
+            elif op == "I":
+                nm += ln
+                qi += ln
+            elif op == "D":
+                nm += ln
+                ti += ln
+        return nm
+
+    @staticmethod
+    def _mapq(score, sub, sub_n, qspan, rspan) -> int:
+        """bwa mem_approx_mapq_se (bwa-0.7.x mem.c) reproduction."""
+        sub = sub if sub else MIN_SEED_LEN * MATCH
+        if sub >= score:
+            return 0
+        l = max(qspan, rspan)
+        identity = 1.0 - (l * MATCH - score) / (MATCH + MISMATCH) / l
+        if score == 0:
+            return 0
+        tmp = 1.0 if l < MAPQ_COEF_LEN else MAPQ_COEF_FAC / math.log(l)
+        tmp *= identity * identity
+        mapq = int(6.02 * (score - sub) / MATCH * tmp * tmp + 0.499)
+        if sub_n > 0:
+            mapq -= int(4.343 * math.log(sub_n + 1) + 0.499)
+        return max(0, min(60, mapq))
+
+
+def _cigar_str(cigar) -> str:
+    return "".join(f"{l}{o}" for l, o in cigar) if cigar else "*"
+
+
+def align_fastq_to_sam(ref_fa: str, reads_fq: str, out_sam: str,
+                       min_seed_len: int = MIN_SEED_LEN) -> None:
+    """CLI entry: align a fastq(.gz) of clipped sequences, emit SAM in
+    input order (the order contract the getsv co-iteration relies on)."""
+    aligner = Aligner.from_fasta(ref_fa, k=min_seed_len)
+    opener = gzip.open if reads_fq.endswith(".gz") else open
+    with opener(reads_fq, "rt") as f, open(out_sam, "w") as out:
+        out.write("@HD\tVN:1.5\tSO:unsorted\n")
+        for name, ln in zip(aligner.idx.chrom_names,
+                            np.diff(aligner.idx.chrom_starts)):
+            out.write(f"@SQ\tSN:{name}\tLN:{int(ln)}\n")
+        out.write("@PG\tID:seeksv-tpu-aln\tPN:seeksv-tpu\n")
+        while True:
+            h = f.readline()
+            if not h:
+                break
+            seq = f.readline().strip()
+            f.readline()
+            qual = f.readline().strip()
+            qname = h[1:].split()[0]
+            a = aligner.align(seq.encode())
+            if not a.mapped:
+                out.write(f"{qname}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{qual}\n")
+                continue
+            flag = 16 if a.strand else 0
+            oseq, oqual = seq, qual
+            if a.strand:
+                oseq = bytes(_RC[np.frombuffer(seq.encode(), np.uint8)][::-1]).decode()
+                oqual = qual[::-1]
+            out.write(f"{qname}\t{flag}\t{aligner.idx.chrom_names[a.tid]}\t"
+                      f"{a.pos + 1}\t{a.mapq}\t{_cigar_str(a.cigar)}\t*\t0\t0\t"
+                      f"{oseq}\t{oqual}\tNM:i:{a.nm}\tAS:i:{a.score}\n")

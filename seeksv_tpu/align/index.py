@@ -1,0 +1,88 @@
+"""Exact-seed reference index.
+
+Replaces the external bwa index: the reference is held as one concatenated
+int8 array (HBM-resident on TPU) plus a sorted k-mer table for exact seed
+lookup.  Lookups are vectorized searchsorted calls over all read k-mers at
+once — the structure maps directly to a device gather, no FM-index needed
+at these reference scales (SURVEY.md §7 phase 3).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# 2-bit encode; anything not ACGT -> 4 (ambiguous)
+ENCODE = np.full(256, 4, dtype=np.uint8)
+for i, c in enumerate(b"ACGT"):
+    ENCODE[c] = i
+    ENCODE[c + 32] = i
+
+
+@dataclass
+class KmerIndex:
+    k: int
+    ref: np.ndarray            # uint8 codes, concatenated chromosomes
+    chrom_names: List[str]
+    chrom_starts: np.ndarray   # int64 [n_chrom+1] offsets into ref
+    keys: np.ndarray           # uint64 sorted kmer hashes
+    positions: np.ndarray      # int64 positions (concatenated coords), key-sorted
+
+    @classmethod
+    def build(cls, seqs: Dict[str, np.ndarray], k: int = 19) -> "KmerIndex":
+        names = list(seqs)
+        starts = np.zeros(len(names) + 1, np.int64)
+        parts = []
+        for i, n in enumerate(names):
+            codes = ENCODE[seqs[n]]
+            parts.append(codes)
+            starts[i + 1] = starts[i] + len(codes)
+        ref = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        keys, positions = cls._hash_all(ref, starts, k)
+        order = np.argsort(keys, kind="stable")
+        return cls(k, ref, names, starts, keys[order], positions[order])
+
+    @staticmethod
+    def _hash_all(ref, starts, k):
+        n = len(ref)
+        if n < k:
+            return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+        # rolling 2-bit pack: kmer[i] = ref[i..i+k) as base-4 integer
+        valid = ref < 4
+        h = np.zeros(n - k + 1, np.uint64)
+        ok = np.ones(n - k + 1, bool)
+        for j in range(k):
+            h = (h << np.uint64(2)) | ref[j:n - k + 1 + j].astype(np.uint64)
+            ok &= valid[j:n - k + 1 + j]
+        # exclude kmers crossing chromosome boundaries
+        pos = np.arange(n - k + 1, dtype=np.int64)
+        for s in starts[1:-1]:
+            ok &= (pos + k <= s) | (pos >= s)
+        return h[ok], pos[ok]
+
+    def lookup(self, kmers: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """For an array of kmer hashes, return (lo, hi) ranges into
+        self.positions (vectorized)."""
+        lo = np.searchsorted(self.keys, kmers, "left")
+        hi = np.searchsorted(self.keys, kmers, "right")
+        return lo, hi
+
+    def hash_read(self, codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """All k-mer hashes of an encoded read; returns (offsets, hashes)
+        for offsets whose k-mer contains no ambiguous base."""
+        n = len(codes)
+        k = self.k
+        if n < k:
+            return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+        h = np.zeros(n - k + 1, np.uint64)
+        ok = np.ones(n - k + 1, bool)
+        valid = codes < 4
+        for j in range(k):
+            h = (h << np.uint64(2)) | codes[j:n - k + 1 + j].astype(np.uint64)
+            ok &= valid[j:n - k + 1 + j]
+        offs = np.nonzero(ok)[0].astype(np.int64)
+        return offs, h[ok]
+
+    def tid_of(self, pos: int) -> int:
+        return int(np.searchsorted(self.chrom_starts, pos, "right")) - 1

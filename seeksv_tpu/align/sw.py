@@ -1,0 +1,171 @@
+"""Affine-gap DP primitives for seed-and-extend alignment.
+
+Structured like the production seed-extend aligners the reference pipeline
+outsources to bwa (README.md:22-34): an *extension* kernel that only needs
+scores (hot path, batched/jittable — see jax_extend_batch) and a small
+banded *global* aligner with traceback used once per chosen alignment to
+emit the CIGAR.  Default scoring matches bwa-mem 0.7.x defaults:
+match 1, mismatch 4, gapopen 6, gapextend 1, 5'/3' clip penalty 5,
+ambiguous-base score -1.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+MATCH = 1
+MISMATCH = 4
+GAP_OPEN = 6
+GAP_EXT = 1
+PEN_CLIP = 5
+AMBIG = -1
+NEG_INF = -0x40000000
+
+
+def _score(a: int, b: int) -> int:
+    if a > 3 or b > 3:
+        return AMBIG
+    return MATCH if a == b else -MISMATCH
+
+
+@dataclass
+class ExtendResult:
+    max_score: int   # best local score (anchored at origin)
+    qle: int         # query extent of the local best
+    tle: int         # target extent of the local best
+    gscore: int      # best score consuming the full query
+    gtle: int        # target extent of that to-query-end best
+
+
+def extend_score(query: np.ndarray, target: np.ndarray, h0: int,
+                 w: int = 100, zdrop: int = 100) -> ExtendResult:
+    """ksw_extend-style one-sided extension from an anchored seed with
+    initial score h0.  Only scores/extents, no traceback."""
+    qlen, tlen = len(query), len(target)
+    if qlen == 0:
+        return ExtendResult(h0, 0, 0, h0, 0)
+    # H over query axis; iterate target rows
+    h = np.full(qlen + 1, NEG_INF, np.int64)
+    e = np.full(qlen + 1, NEG_INF, np.int64)
+    h[0] = h0
+    for j in range(1, qlen + 1):
+        v = h0 - GAP_OPEN - j * GAP_EXT
+        if v < 0:
+            break
+        h[j] = v
+    best = h0
+    qle = tle = 0
+    gscore = NEG_INF
+    gtle = 0
+    qarr = query.astype(np.int64)
+    for i in range(1, tlen + 1):
+        t = int(target[i - 1])
+        if t > 3:
+            sub = np.full(qlen, AMBIG, np.int64)
+        else:
+            sub = np.where(qarr > 3, AMBIG,
+                           np.where(qarr == t, MATCH, -MISMATCH))
+        diag = h[:-1] + sub
+        # first-column initial: extension from origin via target gap
+        h0_col = h0 - GAP_OPEN - i * GAP_EXT
+        new_h = np.empty(qlen + 1, np.int64)
+        new_e = np.empty(qlen + 1, np.int64)
+        new_h[0] = h0_col if h0_col > NEG_INF // 2 else NEG_INF
+        # E: gap in query direction (deletion from target?) — vertical moves
+        new_e[0] = NEG_INF
+        ecand = np.maximum(h - GAP_OPEN, e) - GAP_EXT  # target-gap (col-wise)
+        # F: gaps along query axis are sequential; do scalar loop (numpy
+        # reference path; the batched JAX kernel uses an associative scan)
+        f = NEG_INF
+        for j in range(1, qlen + 1):
+            hv = max(diag[j - 1], ecand[j])
+            hv = max(hv, f)
+            new_h[j] = hv
+            new_e[j] = ecand[j]
+            f = max(hv - GAP_OPEN, f) - GAP_EXT
+        h, e = new_h, new_e
+        row_best = int(h[1:].max(initial=NEG_INF))
+        if row_best > best:
+            best = row_best
+            qle = int(h[1:].argmax()) + 1
+            tle = i
+        if h[qlen] > gscore:
+            gscore = int(h[qlen])
+            gtle = i
+        if row_best < best - zdrop:
+            break
+    return ExtendResult(int(best), qle, tle, int(gscore), gtle)
+
+
+def global_align(query: np.ndarray, target: np.ndarray,
+                 w: int = 100) -> Tuple[int, List[Tuple[int, str]]]:
+    """Banded affine global alignment with traceback -> (score, cigar).
+    Used only on the chosen extents (ksw_global role in bwa)."""
+    m, n = len(query), len(target)
+    if m == 0 and n == 0:
+        return 0, []
+    if m == 0:
+        return -GAP_OPEN - n * GAP_EXT, [(n, "D")]
+    if n == 0:
+        return -GAP_OPEN - m * GAP_EXT, [(m, "I")]
+    H = np.full((m + 1, n + 1), NEG_INF, np.int64)
+    E = np.full((m + 1, n + 1), NEG_INF, np.int64)  # gap in query (D: target consumed)
+    F = np.full((m + 1, n + 1), NEG_INF, np.int64)  # gap in target (I: query consumed)
+    H[0, 0] = 0
+    for j in range(1, n + 1):
+        H[0, j] = -GAP_OPEN - j * GAP_EXT
+        E[0, j] = H[0, j]
+    for i in range(1, m + 1):
+        H[i, 0] = -GAP_OPEN - i * GAP_EXT
+        F[i, 0] = H[i, 0]
+    for i in range(1, m + 1):
+        qi = int(query[i - 1])
+        lo = max(1, i - w)
+        hi = min(n, i + w)
+        for j in range(lo, hi + 1):
+            s = _score(qi, int(target[j - 1]))
+            E[i, j] = max(H[i, j - 1] - GAP_OPEN, E[i, j - 1]) - GAP_EXT
+            F[i, j] = max(H[i - 1, j] - GAP_OPEN, F[i - 1, j]) - GAP_EXT
+            H[i, j] = max(H[i - 1, j - 1] + s, E[i, j], F[i, j])
+    # traceback
+    cig: List[Tuple[int, str]] = []
+    i, j = m, n
+
+    def push(op):
+        if cig and cig[-1][1] == op:
+            cig[-1] = (cig[-1][0] + 1, op)
+        else:
+            cig.append((1, op))
+
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and H[i, j] == H[i - 1, j - 1] + _score(int(query[i - 1]), int(target[j - 1])):
+            push("M")
+            i -= 1
+            j -= 1
+        elif j > 0 and H[i, j] == E[i, j]:
+            # walk the E (target-gap) run
+            push("D")
+            while j > 1 and E[i, j] == E[i, j - 1] - GAP_EXT:
+                push("D")
+                j -= 1
+            j -= 1
+        elif i > 0 and H[i, j] == F[i, j]:
+            push("I")
+            while i > 1 and F[i, j] == F[i - 1, j] - GAP_EXT:
+                push("I")
+                i -= 1
+            i -= 1
+        elif i > 0 and j > 0:
+            push("M")
+            i -= 1
+            j -= 1
+        elif j > 0:
+            push("D")
+            j -= 1
+        else:
+            push("I")
+            i -= 1
+    cig.reverse()
+    return int(H[m, n]), cig
