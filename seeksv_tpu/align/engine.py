@@ -110,27 +110,25 @@ class Aligner:
         if le.gscore <= 0 or le.gscore <= le.max_score - PEN_CLIP:
             qb = q_start - le.qle
             rb = ref_anchor - le.tle
-            score_after_left = le.max_score
         else:
             qb = 0
             rb = ref_anchor - le.gtle
-            score_after_left = le.gscore
-        # right extension seeded with the left-extension score
+        # right extension seeded with the left local max (bwa's sc0 in
+        # mem_chain2aln; NOT the gscore even when to-end was chosen)
         q_end0 = q_start + anchor_len
         rq = codes[q_end0:]
         ref_end0 = ref_anchor + anchor_len
         t_hi = min(c_hi, ref_end0 + len(rq) + 100)
         rt = idx.ref[ref_end0:t_hi]
-        re_ = extend_score(rq, rt, score_after_left)
+        re_ = extend_score(rq, rt, le.max_score)
         if re_.gscore <= 0 or re_.gscore <= re_.max_score - PEN_CLIP:
             qe = q_end0 + re_.qle
             rend = ref_end0 + re_.tle
-            final = re_.max_score
         else:
             qe = n
             rend = ref_end0 + re_.gtle
-            final = re_.gscore
-        return (final, re_.max_score, tid, qb, qe, rb, rend)
+        # the reported score is the right extension's local max (bwa a->score)
+        return (re_.max_score, re_.max_score, tid, qb, qe, rb, rend)
 
     def align(self, seq: bytes) -> Alignment:
         fwd = ENCODE[np.frombuffer(seq, np.uint8)]
@@ -206,6 +204,153 @@ class Aligner:
         if sub_n > 0:
             mapq -= int(4.343 * math.log(sub_n + 1) + 0.499)
         return max(0, min(60, mapq))
+
+
+class BatchAligner(Aligner):
+    """Device-batched alignment: host seeding + two batched extension
+    rounds on the accelerator (ops.jax_kernels.sw_extend_batch), then
+    host-side traceback for the winning candidates only.
+
+    This is the TPU-native formulation of the aligner: extension scoring —
+    the FLOP-dominant inner loop — runs as one [jobs, LQ] x LT fused scan
+    per direction instead of per-read DP loops.
+    """
+
+    # pad buckets keep jit cache small
+    _BUCKETS = (32, 64, 128, 256, 512)
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        for b in BatchAligner._BUCKETS:
+            if n <= b:
+                return b
+        return ((n + 511) // 512) * 512
+
+    def batch_align(self, seqs: List[bytes]) -> List[Alignment]:
+        import jax.numpy as jnp
+
+        from ..ops.jax_kernels import sw_extend_batch
+
+        idx = self.idx
+        jobs = []  # (read_i, strand, codes, diag, q_start, anchor_len, tid, c_lo, c_hi)
+        per_read_codes: List[Tuple[np.ndarray, np.ndarray]] = []
+        for ri, seq in enumerate(seqs):
+            fwd = ENCODE[np.frombuffer(seq, np.uint8)]
+            rev = fwd[::-1].copy()
+            rev = np.where(rev < 4, 3 - rev, 4).astype(np.uint8)
+            per_read_codes.append((fwd, rev))
+            for strand, codes in ((0, fwd), (1, rev)):
+                for diag, q_start, anchor_len, _v in self._candidates(codes):
+                    ref_anchor = diag + q_start
+                    tid = idx.tid_of(ref_anchor)
+                    if tid < 0:
+                        continue
+                    jobs.append((ri, strand, diag, q_start, anchor_len, tid))
+        results_by_read: Dict[int, list] = {i: [] for i in range(len(seqs))}
+        if jobs:
+            n_jobs = len(jobs)
+            max_q = max(len(per_read_codes[j[0]][0]) for j in jobs)
+            LQ = self._bucket(max_q)
+            LT = self._bucket(max_q + 100)
+            lq = np.full((n_jobs, LQ), 4, np.int32)
+            lt = np.full((n_jobs, LT), 4, np.int32)
+            rq = np.full((n_jobs, LQ), 4, np.int32)
+            rt = np.full((n_jobs, LT), 4, np.int32)
+            lqlen = np.zeros(n_jobs, np.int32)
+            ltlen = np.zeros(n_jobs, np.int32)
+            rqlen = np.zeros(n_jobs, np.int32)
+            rtlen = np.zeros(n_jobs, np.int32)
+            h0 = np.zeros(n_jobs, np.int32)
+            meta = []
+            for k, (ri, strand, diag, q_start, anchor_len, tid) in enumerate(jobs):
+                codes = per_read_codes[ri][strand]
+                n = len(codes)
+                ref_anchor = diag + q_start
+                c_lo = int(idx.chrom_starts[tid])
+                c_hi = int(idx.chrom_starts[tid + 1])
+                h0[k] = anchor_len * MATCH
+                lq_arr = codes[:q_start][::-1]
+                t_lo = max(c_lo, ref_anchor - (q_start + 100))
+                lt_arr = idx.ref[t_lo:ref_anchor][::-1]
+                lq[k, :len(lq_arr)] = lq_arr
+                lt[k, :len(lt_arr)] = lt_arr
+                lqlen[k] = len(lq_arr)
+                ltlen[k] = len(lt_arr)
+                q_end0 = q_start + anchor_len
+                rq_arr = codes[q_end0:]
+                ref_end0 = ref_anchor + anchor_len
+                t_hi = min(c_hi, ref_end0 + len(rq_arr) + 100)
+                rt_arr = idx.ref[ref_end0:t_hi]
+                rq[k, :len(rq_arr)] = rq_arr
+                rt[k, :len(rt_arr)] = rt_arr
+                rqlen[k] = len(rq_arr)
+                rtlen[k] = len(rt_arr)
+                meta.append((ri, strand, n, ref_anchor, q_start, anchor_len, tid))
+            left = {k2: np.asarray(v) for k2, v in sw_extend_batch(
+                jnp.asarray(lq), jnp.asarray(lqlen), jnp.asarray(lt),
+                jnp.asarray(ltlen), jnp.asarray(h0)).items()}
+            # clip/extend decision after left extension
+            qb = np.zeros(n_jobs, np.int64)
+            rb = np.zeros(n_jobs, np.int64)
+            h0r = np.zeros(n_jobs, np.int32)
+            for k, (ri, strand, n, ref_anchor, q_start, anchor_len, tid) in enumerate(meta):
+                h0r[k] = left["max_score"][k]  # bwa sc0 semantics
+                if (left["gscore"][k] <= 0
+                        or left["gscore"][k] <= left["max_score"][k] - PEN_CLIP):
+                    qb[k] = q_start - left["qle"][k]
+                    rb[k] = ref_anchor - left["tle"][k]
+                else:
+                    qb[k] = 0
+                    rb[k] = ref_anchor - left["gtle"][k]
+            right = {k2: np.asarray(v) for k2, v in sw_extend_batch(
+                jnp.asarray(rq), jnp.asarray(rqlen), jnp.asarray(rt),
+                jnp.asarray(rtlen), jnp.asarray(h0r)).items()}
+            for k, (ri, strand, n, ref_anchor, q_start, anchor_len, tid) in enumerate(meta):
+                q_end0 = q_start + anchor_len
+                ref_end0 = ref_anchor + anchor_len
+                if (right["gscore"][k] <= 0
+                        or right["gscore"][k] <= right["max_score"][k] - PEN_CLIP):
+                    qe = q_end0 + int(right["qle"][k])
+                    rend = ref_end0 + int(right["tle"][k])
+                else:
+                    qe = n
+                    rend = ref_end0 + int(right["gtle"][k])
+                final = int(right["max_score"][k])
+                results_by_read[ri].append(
+                    (strand, final, final, tid,
+                     int(qb[k]), qe, int(rb[k]), rend))
+        out = []
+        for ri, seq in enumerate(seqs):
+            out.append(self._finalize(per_read_codes[ri], len(seq),
+                                      results_by_read[ri]))
+        return out
+
+    def _finalize(self, codes_pair, n, results) -> Alignment:
+        if not results:
+            return Alignment(False)
+        results.sort(key=lambda t: (-t[2], t[0], t[6]))
+        strand, final, local_max, tid, qb, qe, rb, rend = results[0]
+        if local_max < SCORE_T:
+            return Alignment(False)
+        sub = 0
+        sub_n = 0
+        for r in results[1:]:
+            if (r[3], r[6], r[7]) == (tid, rb, rend) and r[0] == strand:
+                continue
+            if sub == 0:
+                sub = r[2]
+            if r[2] >= local_max - MIN_SEED_LEN:
+                sub_n += 1
+        codes = codes_pair[strand]
+        gs, cigar = global_align(codes[qb:qe], self.idx.ref[rb:rend])
+        nm = self._nm(codes[qb:qe], self.idx.ref[rb:rend], cigar)
+        if qb > 0:
+            cigar = [(qb, "S")] + cigar
+        if qe < n:
+            cigar = cigar + [(n - qe, "S")]
+        mapq = self._mapq(local_max, sub, sub_n, qe - qb, rend - rb)
+        return Alignment(True, tid, rb - int(self.idx.chrom_starts[tid]),
+                         strand, cigar, local_max, sub, sub_n, mapq, nm)
 
 
 def _cigar_str(cigar) -> str:

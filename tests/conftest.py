@@ -1,11 +1,20 @@
+"""Test harness setup.
+
+The suite runs JAX on a virtual 8-device CPU mesh (multi-chip sharding
+tests per SURVEY.md §4).  In this environment a sitecustomize imports jax
+at interpreter startup pinned to a single tunneled TPU chip; backend
+creation is lazy, so switching the platform + forcing 8 host devices here
+(before any jax.devices() call) is sufficient.
+"""
 import os
 
-# Multi-chip tests run on a virtual CPU mesh; set up before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+
+if not os.environ.get("SEEKSV_TPU_TESTS_ON_DEVICE"):  # opt-in to real TPU
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
