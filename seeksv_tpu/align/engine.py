@@ -218,6 +218,10 @@ class BatchAligner(Aligner):
 
     # pad buckets keep jit cache small
     _BUCKETS = (32, 64, 128, 256, 512)
+    # below this many DP cells the device round-trip + compile cost beats
+    # the win; use the host kernels (device path asserted equivalent by
+    # tests/test_align.py and the earlier on-TPU comparison run)
+    MIN_DEVICE_CELLS = 50_000_000
 
     @staticmethod
     def _bucket(n: int) -> int:
@@ -226,7 +230,8 @@ class BatchAligner(Aligner):
                 return b
         return ((n + 511) // 512) * 512
 
-    def batch_align(self, seqs: List[bytes]) -> List[Alignment]:
+    def batch_align(self, seqs: List[bytes],
+                    force_device: bool = False) -> List[Alignment]:
         import jax.numpy as jnp
 
         from ..ops.jax_kernels import sw_extend_batch
@@ -252,6 +257,15 @@ class BatchAligner(Aligner):
             max_q = max(len(per_read_codes[j[0]][0]) for j in jobs)
             LQ = self._bucket(max_q)
             LT = self._bucket(max_q + 100)
+            if not force_device and n_jobs * LQ * LT * 2 < self.MIN_DEVICE_CELLS:
+                for ri, strand, diag, q_start, anchor_len, tid in jobs:
+                    r = self._extend_candidate(per_read_codes[ri][strand],
+                                               diag, q_start, anchor_len)
+                    if r is not None:
+                        results_by_read[ri].append((strand,) + r)
+                return [self._finalize(per_read_codes[ri], len(seq),
+                                       results_by_read[ri])
+                        for ri, seq in enumerate(seqs)]
             lq = np.full((n_jobs, LQ), 4, np.int32)
             lt = np.full((n_jobs, LT), 4, np.int32)
             rq = np.full((n_jobs, LQ), 4, np.int32)

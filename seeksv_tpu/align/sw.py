@@ -60,36 +60,39 @@ def extend_score(query: np.ndarray, target: np.ndarray, h0: int,
     gscore = NEG_INF
     gtle = 0
     qarr = query.astype(np.int64)
+    q_ambig = qarr > 3
+    jext = np.arange(1, qlen + 1, dtype=np.int64) * GAP_EXT
     for i in range(1, tlen + 1):
         t = int(target[i - 1])
         if t > 3:
             sub = np.full(qlen, AMBIG, np.int64)
         else:
-            sub = np.where(qarr > 3, AMBIG,
+            sub = np.where(q_ambig, AMBIG,
                            np.where(qarr == t, MATCH, -MISMATCH))
         diag = h[:-1] + sub
-        # first-column initial: extension from origin via target gap
         h0_col = h0 - GAP_OPEN - i * GAP_EXT
-        new_h = np.empty(qlen + 1, np.int64)
-        new_e = np.empty(qlen + 1, np.int64)
-        new_h[0] = h0_col if h0_col > NEG_INF // 2 else NEG_INF
-        # E: gap in query direction (deletion from target?) — vertical moves
-        new_e[0] = NEG_INF
         ecand = np.maximum(h - GAP_OPEN, e) - GAP_EXT  # target-gap (col-wise)
-        # F: gaps along query axis are sequential; do scalar loop (numpy
-        # reference path; the batched JAX kernel uses an associative scan)
-        f = NEG_INF
-        for j in range(1, qlen + 1):
-            hv = max(diag[j - 1], ecand[j])
-            hv = max(hv, f)
-            new_h[j] = hv
-            new_e[j] = ecand[j]
-            f = max(hv - GAP_OPEN, f) - GAP_EXT
+        g = np.maximum(diag, ecand[1:])
+        # exact row-gap recurrence via prefix max (gap reopening from an
+        # F-sourced cell is never optimal with GAP_OPEN > 0):
+        #   f_j = max_{1<=k<j} (g_k - GAP_OPEN - (j-k) * GAP_EXT)
+        u = g + jext
+        pref = np.empty(qlen, np.int64)
+        pref[0] = NEG_INF
+        np.maximum.accumulate(u[:-1], out=pref[1:])
+        f = pref - GAP_OPEN - jext
+        new_h = np.empty(qlen + 1, np.int64)
+        new_h[0] = h0_col
+        np.maximum(g, f, out=new_h[1:])
+        new_e = np.empty(qlen + 1, np.int64)
+        new_e[0] = NEG_INF
+        new_e[1:] = ecand[1:]
         h, e = new_h, new_e
-        row_best = int(h[1:].max(initial=NEG_INF))
+        amax = int(h[1:].argmax())
+        row_best = int(h[1 + amax])
         if row_best > best:
             best = row_best
-            qle = int(h[1:].argmax()) + 1
+            qle = amax + 1
             tle = i
         if h[qlen] > gscore:
             gscore = int(h[qlen])
@@ -114,21 +117,28 @@ def global_align(query: np.ndarray, target: np.ndarray,
     E = np.full((m + 1, n + 1), NEG_INF, np.int64)  # gap in query (D: target consumed)
     F = np.full((m + 1, n + 1), NEG_INF, np.int64)  # gap in target (I: query consumed)
     H[0, 0] = 0
-    for j in range(1, n + 1):
-        H[0, j] = -GAP_OPEN - j * GAP_EXT
-        E[0, j] = H[0, j]
-    for i in range(1, m + 1):
-        H[i, 0] = -GAP_OPEN - i * GAP_EXT
-        F[i, 0] = H[i, 0]
+    H[0, 1:] = -GAP_OPEN - np.arange(1, n + 1, dtype=np.int64) * GAP_EXT
+    E[0, 1:] = H[0, 1:]
+    H[1:, 0] = -GAP_OPEN - np.arange(1, m + 1, dtype=np.int64) * GAP_EXT
+    F[1:, 0] = H[1:, 0]
+    tarr = target.astype(np.int64)
+    t_ambig = tarr > 3
+    jext = np.arange(1, n + 1, dtype=np.int64) * GAP_EXT
     for i in range(1, m + 1):
         qi = int(query[i - 1])
-        lo = max(1, i - w)
-        hi = min(n, i + w)
-        for j in range(lo, hi + 1):
-            s = _score(qi, int(target[j - 1]))
-            E[i, j] = max(H[i, j - 1] - GAP_OPEN, E[i, j - 1]) - GAP_EXT
-            F[i, j] = max(H[i - 1, j] - GAP_OPEN, F[i - 1, j]) - GAP_EXT
-            H[i, j] = max(H[i - 1, j - 1] + s, E[i, j], F[i, j])
+        if qi > 3:
+            sub = np.full(n, AMBIG, np.int64)
+        else:
+            sub = np.where(t_ambig, AMBIG,
+                           np.where(tarr == qi, MATCH, -MISMATCH))
+        F[i, 1:] = np.maximum(H[i - 1, 1:] - GAP_OPEN, F[i - 1, 1:]) - GAP_EXT
+        diag = H[i - 1, :-1] + sub
+        g = np.maximum(diag, F[i, 1:])
+        # exact row-gap recurrence via prefix max (same argument as in
+        # extend_score; the j=0 border cell participates as g'_0)
+        u = np.concatenate(([H[i, 0]], g[:-1] + jext[:-1]))
+        E[i, 1:] = np.maximum.accumulate(u) - GAP_OPEN - jext
+        H[i, 1:] = np.maximum(g, E[i, 1:])
     # traceback
     cig: List[Tuple[int, str]] = []
     i, j = m, n

@@ -1,0 +1,142 @@
+"""ctypes bindings for the native IO runtime (csrc/seeksv_native.cpp).
+
+The .so is looked up next to the repo's csrc/ output; when absent the
+pure-python decoder in io/bam.py is used instead (identical contract,
+asserted by tests/test_native.py).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+class _BamSoA(ctypes.Structure):
+    _fields_ = [
+        ("n", ctypes.c_int64),
+        ("flag", ctypes.POINTER(ctypes.c_int32)),
+        ("tid", ctypes.POINTER(ctypes.c_int32)),
+        ("pos", ctypes.POINTER(ctypes.c_int32)),
+        ("mapq", ctypes.POINTER(ctypes.c_int32)),
+        ("mtid", ctypes.POINTER(ctypes.c_int32)),
+        ("mpos", ctypes.POINTER(ctypes.c_int32)),
+        ("isize", ctypes.POINTER(ctypes.c_int32)),
+        ("l_qseq", ctypes.POINTER(ctypes.c_int32)),
+        ("xc", ctypes.POINTER(ctypes.c_int32)),
+        ("cig_off", ctypes.POINTER(ctypes.c_int64)),
+        ("cig", ctypes.POINTER(ctypes.c_uint32)),
+        ("n_cig_total", ctypes.c_int64),
+        ("seq_off", ctypes.POINTER(ctypes.c_int64)),
+        ("seq", ctypes.POINTER(ctypes.c_uint8)),
+        ("qual", ctypes.POINTER(ctypes.c_uint8)),
+        ("n_seq_total", ctypes.c_int64),
+        ("qname_off", ctypes.POINTER(ctypes.c_int64)),
+        ("qnames", ctypes.POINTER(ctypes.c_uint8)),
+        ("n_qname_total", ctypes.c_int64),
+        ("n_refs", ctypes.c_int32),
+        ("ref_lens", ctypes.POINTER(ctypes.c_int32)),
+        ("ref_names", ctypes.POINTER(ctypes.c_uint8)),
+        ("ref_names_len", ctypes.c_int64),
+        ("error", ctypes.c_char * 256),
+    ]
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for cand in (os.path.join(here, "csrc", "libseeksv_native.so"),
+                 os.path.join(here, "libseeksv_native.so")):
+        if os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+                lib.seeksv_bam_decode.restype = ctypes.POINTER(_BamSoA)
+                lib.seeksv_bam_decode.argtypes = [ctypes.c_char_p,
+                                                  ctypes.c_int]
+                lib.seeksv_bam_free.argtypes = [ctypes.POINTER(_BamSoA)]
+                lib.seeksv_coverage_diff.argtypes = [
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+                _LIB = lib
+                break
+            except OSError:
+                pass
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _arr(ptr, n, dtype):
+    if n == 0:
+        return np.zeros(0, dtype)
+    return np.ctypeslib.as_array(ptr, shape=(int(n),)).astype(dtype, copy=True)
+
+
+def read_bam_native(path: str, n_threads: int = 0):
+    from .bam import BamRecords
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    h = lib.seeksv_bam_decode(path.encode(), n_threads)
+    try:
+        s = h.contents
+        if s.n == 0 and s.error and s.error != b"":
+            raise IOError(f"{path}: {s.error.decode()}")
+        n = int(s.n)
+        qname_off = _arr(s.qname_off, n + 1, np.int64)
+        qblob = _arr(s.qnames, s.n_qname_total, np.uint8).tobytes()
+        qnames = [qblob[qname_off[i]:qname_off[i + 1]] for i in range(n)]
+        names_blob = _arr(s.ref_names, s.ref_names_len, np.uint8).tobytes()
+        ref_names = [x.decode() for x in names_blob.split(b"\x00") if x]
+        ref_lens = _arr(s.ref_lens, s.n_refs, np.int32).tolist()
+        return BamRecords(
+            ref_names=ref_names, ref_lens=[int(x) for x in ref_lens], n=n,
+            flag=_arr(s.flag, n, np.int32), tid=_arr(s.tid, n, np.int32),
+            pos=_arr(s.pos, n, np.int32), mapq=_arr(s.mapq, n, np.int32),
+            mtid=_arr(s.mtid, n, np.int32), mpos=_arr(s.mpos, n, np.int32),
+            isize=_arr(s.isize, n, np.int32),
+            l_qseq=_arr(s.l_qseq, n, np.int32),
+            qnames=qnames,
+            cig=_arr(s.cig, s.n_cig_total, np.uint32),
+            cig_off=_arr(s.cig_off, n + 1, np.int64),
+            seq=_arr(s.seq, s.n_seq_total, np.uint8),
+            qual=_arr(s.qual, s.n_seq_total, np.uint8),
+            seq_off=_arr(s.seq_off, n + 1, np.int64),
+            xc=_arr(s.xc, n, np.int32),
+        )
+    finally:
+        lib.seeksv_bam_free(h)
+
+
+def coverage_diff(starts: np.ndarray, ends: np.ndarray,
+                  weights: np.ndarray, length: int) -> np.ndarray:
+    """Native scatter-add into a difference array (fallback: np.add.at)."""
+    lib = _load()
+    diff = np.zeros(length + 1, np.int32)
+    if lib is None:
+        np.add.at(diff, np.clip(starts, 0, length), weights)
+        np.add.at(diff, np.clip(ends, 0, length), -weights)
+        return diff
+    s = np.ascontiguousarray(starts, np.int64)
+    e = np.ascontiguousarray(ends, np.int64)
+    w = np.ascontiguousarray(weights, np.int32)
+    lib.seeksv_coverage_diff(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(s), diff.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        length)
+    return diff

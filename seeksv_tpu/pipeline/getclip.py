@@ -197,13 +197,9 @@ def getclip(bam_path: str, prefix: str, threshold: float = 0.85,
     clip_candidate = (mapped & ~has_hard & (soft_first | soft_last)
                       & (recs.mapq >= min_mapq) & ((flag & FDUP) == 0))
 
-    # index of records that need any per-record work, in BAM order
-    interesting = np.nonzero(unmapped_any | mapped)[0]  # == all records
-
     left_map = BreakpointMap()
     right_map = BreakpointMap()
     id2seq_qual: Dict[bytes, Tuple[Tuple[bytes, bytes], str]] = {}
-    last_tid = 0
 
     first_len = recs.first_len()
     last_len = recs.last_len()
@@ -216,22 +212,35 @@ def getclip(bam_path: str, prefix: str, threshold: float = 0.85,
         left_map.by_pos.clear()
         right_map.by_pos.clear()
 
-    for i in interesting:
-        i = int(i)
-        if unmapped_any[i]:
-            _store_unmapped(recs, i, id2seq_qual, un1, un2)
-            continue
-        tid = int(recs.tid[i])
-        if tid != last_tid:
-            flush(last_tid)
-            last_tid = tid
-            continue  # quirk: flush-triggering record is dropped
-        if not clip_candidate[i]:
-            continue
-        _get_sclip_read(recs, i, left_map, right_map, threshold,
-                        save_low_quality, first_op, last_op, first_len,
-                        last_len, map_len)
+    # Python only touches the sparse interesting subsets; the streaming
+    # loop's semantics are reproduced from the vectorized tid-run view:
+    #   - unmapped records pair mates in BAM order,
+    #   - mapped records form contiguous tid runs (coordinate-sorted BAM);
+    #     each run boundary triggers a flush and DROPS the first mapped
+    #     record of the new run (the reference's else-branch quirk,
+    #     clip_reads.h:423-438) — except a leading tid-0 run (last_tid
+    #     starts at 0).
+    for i in np.nonzero(unmapped_any)[0]:
+        _store_unmapped(recs, int(i), id2seq_qual, un1, un2)
 
+    mapped_idx = np.nonzero(mapped)[0]
+    last_tid = 0
+    if len(mapped_idx):
+        mtids = recs.tid[mapped_idx]
+        run_starts = np.concatenate(
+            [[0], np.nonzero(mtids[1:] != mtids[:-1])[0] + 1, [len(mtids)]])
+        for r in range(len(run_starts) - 1):
+            s, e = int(run_starts[r]), int(run_starts[r + 1])
+            tid = int(mtids[s])
+            if tid != last_tid:
+                flush(last_tid)
+                last_tid = tid
+                s += 1  # quirk: flush-triggering record is dropped
+            run = mapped_idx[s:e]
+            for i in run[clip_candidate[run]]:
+                _get_sclip_read(recs, int(i), left_map, right_map, threshold,
+                                save_low_quality, first_op, last_op,
+                                first_len, last_len, map_len)
     flush(last_tid)
     soft_out.close()
     fq_out.close()

@@ -524,15 +524,13 @@ def compute_coverage(recs: BamRecords, min_mapq: int) -> Dict[int, np.ndarray]:
     depth_op = ((ops == OP_M) | (ops == OP_EQ) | (ops == OP_X)) & keep[rec_of_op]
     out: Dict[int, np.ndarray] = {}
     op_tid = recs.tid[rec_of_op]
+    from ..io.native import coverage_diff
     for t in range(len(recs.ref_names)):
         L = recs.ref_lens[t]
-        diff = np.zeros(L + 2, np.int32)
         sel = depth_op & (op_tid == t)
-        np.add.at(diff, seg_start[sel].clip(0, L + 1), 1)
-        np.add.at(diff, seg_end[sel].clip(0, L + 1), -1)
-        cov = np.cumsum(diff)[:L]
-        out[t] = cov
-        # prefix sums for O(1) range queries
+        diff = coverage_diff(seg_start[sel], seg_end[sel],
+                             np.ones(int(sel.sum()), np.int32), L + 1)
+        out[t] = np.cumsum(diff)[:L].astype(np.int32)
     return out
 
 
