@@ -204,9 +204,15 @@ def get_junction(ari: AlignReadsInfo, orientation: str, cai: AlignInfo,
 
 
 def input_soft_info(clipfile: str, samfile: str, jmap: JunctionMap,
-                    aligned2clipped: list) -> None:
+                    aligned2clipped: list, skip_min_mapq: int = 0) -> None:
     """Co-iterate clip.gz with the realigned clip records
-    (ref: getsv.h:423-541), preserving grouping/order quirks."""
+    (ref: getsv.h:423-541), preserving grouping/order quirks.
+
+    skip_min_mapq reproduces the reference's global-variable interaction:
+    g_min_mapQ is 0 here unless `-F` ran first, in which case FindJunction
+    left it at the read-through mapQ (ref: process_bwasw.cpp:32 +
+    sam_view.h:5) and __g_skip_aln then filters the clip.bam records too.
+    """
     sam = read_bam(samfile)
     j = 0
     nsam = sam.n
@@ -239,6 +245,8 @@ def input_soft_info(clipfile: str, samfile: str, jmap: JunctionMap,
             while j < nsam:
                 i = j
                 j += 1
+                if sam.mapq[i] < skip_min_mapq:
+                    continue
                 if is_hard_clip(sam, i):
                     continue
                 cai = get_align_info(sam, i)
@@ -255,6 +263,8 @@ def input_soft_info(clipfile: str, samfile: str, jmap: JunctionMap,
     while j < nsam:
         i = j
         j += 1
+        if sam.mapq[i] < skip_min_mapq:
+            continue
         # note: no hard-clip skip in the drain loop (ref: getsv.h:512-515)
         cai = get_align_info(sam, i)
         if bytes(sam.qnames[i]) == last:
@@ -732,12 +742,18 @@ def getsv(clip_sam: str, original_bam: str, clipfile: str, sv_out: str,
 
     if temp_breakpoint:
         read_breakpoint(temp_breakpoint, jmap)
+    skip_min_mapq = 0
     if connect_bam:
         from .readthrough import find_junction
         find_junction(connect_bam, connect_min_mapq, jmap)
         log("'FindJunction' finished")
+        # NOTE: the v1.2.3 source leaks g_min_mapQ from FindJunction into
+        # the clip.bam co-iteration (process_bwasw.cpp:32 + sam_view.h:5),
+        # which silently desynchronizes clip groups whose records are all
+        # mapq 0.  The v1.2.0 oracle binary does not; we follow the oracle
+        # (skip_min_mapq stays 0).
 
-    input_soft_info(clipfile, clip_sam, jmap, aligned2clipped)
+    input_soft_info(clipfile, clip_sam, jmap, aligned2clipped, skip_min_mapq)
     log("'InputSoftInfoStoreBreakpoint' finished")
     merge_junction(jmap, flank)
 
