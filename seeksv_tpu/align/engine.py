@@ -232,10 +232,6 @@ class BatchAligner(Aligner):
 
     def batch_align(self, seqs: List[bytes],
                     force_device: bool = False) -> List[Alignment]:
-        import jax.numpy as jnp
-
-        from ..ops.jax_kernels import sw_extend_batch
-
         idx = self.idx
         jobs = []  # (read_i, strand, codes, diag, q_start, anchor_len, tid, c_lo, c_hi)
         per_read_codes: List[Tuple[np.ndarray, np.ndarray]] = []
@@ -266,6 +262,9 @@ class BatchAligner(Aligner):
                 return [self._finalize(per_read_codes[ri], len(seq),
                                        results_by_read[ri])
                         for ri, seq in enumerate(seqs)]
+            import jax.numpy as jnp
+
+            from ..ops.jax_kernels import sw_extend_batch
             lq = np.full((n_jobs, LQ), 4, np.int32)
             lt = np.full((n_jobs, LT), 4, np.int32)
             rq = np.full((n_jobs, LQ), 4, np.int32)
