@@ -50,6 +50,11 @@ def _add_getsv(sub):
     p.add_argument("-m", type=int, default=30, dest="min_seq_len")
     p.add_argument("-i", type=int, default=1, dest="max_seq_indel_no")
     p.add_argument("-L", type=int, default=200, dest="flank_length")
+    p.add_argument("--rescue", action="store_true",
+                   help="emit unmapped clipped sequences to the rescue "
+                        "fastq for iterative (virus-integration) calling; "
+                        "the reference's rescue path is dead code and its "
+                        "rescue fastq is always empty")
     p.add_argument("clip_bam")
     p.add_argument("original_bam")
     p.add_argument("clip_gz")
@@ -92,6 +97,14 @@ def main(argv=None) -> int:
     pv.add_argument("breakpoint")
     pv.add_argument("template_vcf", nargs="?", default=None)
     pv.add_argument("out_vcf")
+    pr = sub.add_parser(
+        "run", help="one-shot pipeline: getclip + aln + getsv [+ somatic]")
+    pr.add_argument("-o", default="output", dest="prefix")
+    pr.add_argument("--normal", default=None,
+                    help="normal-sample BAM: also run somatic subtraction")
+    pr.add_argument("--rescue", action="store_true")
+    pr.add_argument("ref_fa")
+    pr.add_argument("bam")
     pc = sub.add_parser("compare", help="compare SV result files")
     pc.add_argument("mode", choices=["simu", "crest", "seeksv"])
     pc.add_argument("-l", type=int, default=50, dest="fuzz")
@@ -122,6 +135,7 @@ def main(argv=None) -> int:
               flank_length=args.flank_length, output_depth=not args.no_depth,
               temp_breakpoint=args.temp_breakpoint,
               connect_bam=args.connect_bam, connect_min_mapq=args.min_mapq2,
+              rescue=args.rescue,
               log=lambda *a: print(*a, file=sys.stderr))
     elif args.cmd == "somatic":
         if args.offset >= 90 or args.offset < 0:
@@ -139,6 +153,11 @@ def main(argv=None) -> int:
         from .align.engine import align_fastq_to_sam
         align_fastq_to_sam(args.ref_fa, args.reads_fq, args.out_sam,
                            min_seed_len=args.min_seed_len)
+    elif args.cmd == "run":
+        from .pipeline.driver import run_pipeline
+        run_pipeline(args.ref_fa, args.bam, args.prefix,
+                     normal_bam=args.normal, rescue=args.rescue,
+                     log=lambda *a: print(*a, file=sys.stderr))
     elif args.cmd == "vcf":
         from .pipeline.vcf import breakpoint_to_vcf
         breakpoint_to_vcf(args.breakpoint, args.template_vcf, args.out_vcf)

@@ -1,0 +1,88 @@
+"""One-shot pipeline driver: the reference's 3-step shell workflow
+(example/seeksv.sh + seeksv.somatic.sh) as a single in-framework call —
+no external aligner, no awk."""
+from __future__ import annotations
+
+import gzip
+import io
+import sys
+import time
+from typing import Optional
+
+from ..align.engine import BatchAligner, _cigar_str
+from ..io.bam import read_bam
+from .getclip import getclip
+from .getsv import getsv
+from .somatic import somatic, somatic_filter
+
+
+def _read_fastq(path):
+    seqs, quals = [], []
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        while True:
+            h = f.readline()
+            if not h:
+                break
+            seqs.append(f.readline().strip().encode())
+            f.readline()
+            quals.append(f.readline().strip())
+    return seqs, quals
+
+
+def write_sam(aligner, seqs, quals, alns, path) -> None:
+    import numpy as np
+
+    from ..align.engine import _RC
+    with open(path, "w") as out:
+        out.write("@HD\tVN:1.5\tSO:unsorted\n")
+        for name, ln in zip(aligner.idx.chrom_names,
+                            np.diff(aligner.idx.chrom_starts)):
+            out.write(f"@SQ\tSN:{name}\tLN:{int(ln)}\n")
+        for seq, qual, a in zip(seqs, quals, alns):
+            qn = seq.decode()
+            if not a.mapped:
+                out.write(f"{qn}\t4\t*\t0\t0\t*\t*\t0\t0\t{qn}\t{qual}\n")
+                continue
+            oseq, oq = qn, qual
+            if a.strand:
+                oseq = bytes(_RC[np.frombuffer(seq, np.uint8)][::-1]).decode()
+                oq = qual[::-1]
+            out.write(f"{qn}\t{16 if a.strand else 0}\t"
+                      f"{aligner.idx.chrom_names[a.tid]}\t{a.pos + 1}\t"
+                      f"{a.mapq}\t{_cigar_str(a.cigar)}\t*\t0\t0\t{oseq}\t{oq}\n")
+
+
+def realign_clips(ref_fa: str, clip_fq: str, out_sam: str,
+                  aligner: Optional[BatchAligner] = None) -> BatchAligner:
+    if aligner is None:
+        aligner = BatchAligner.from_fasta(ref_fa)
+    seqs, quals = _read_fastq(clip_fq)
+    alns = aligner.batch_align(seqs)
+    write_sam(aligner, seqs, quals, alns, out_sam)
+    return aligner
+
+
+def run_pipeline(ref_fa: str, bam: str, prefix: str, *,
+                 normal_bam: Optional[str] = None, rescue: bool = False,
+                 filtered_out=None, log=lambda *a: None) -> None:
+    t0 = time.time()
+    recs = read_bam(bam)
+    log(f"[{time.time()-t0:.2f}s] decoded {recs.n} records")
+    getclip(bam, prefix, recs=recs)
+    log(f"[{time.time()-t0:.2f}s] getclip done")
+    aligner = realign_clips(ref_fa, f"{prefix}.clip.fq.gz",
+                            f"{prefix}.clip.sam")
+    log(f"[{time.time()-t0:.2f}s] realignment done")
+    getsv(f"{prefix}.clip.sam", bam, f"{prefix}.clip.gz", f"{prefix}.sv",
+          f"{prefix}.unmapped.clip.fq", recs=recs, rescue=rescue,
+          filtered_out=filtered_out or io.StringIO(), log=log)
+    log(f"[{time.time()-t0:.2f}s] getsv done -> {prefix}.sv")
+    if normal_bam:
+        nrecs = read_bam(normal_bam)
+        nprefix = f"{prefix}.normal"
+        getclip(normal_bam, nprefix, recs=nrecs)
+        somatic(normal_bam, f"{nprefix}.clip.gz", f"{prefix}.sv",
+                f"{prefix}.somatic.temp.sv", recs=nrecs)
+        somatic_filter(f"{prefix}.somatic.temp.sv", f"{prefix}.somatic.sv")
+        log(f"[{time.time()-t0:.2f}s] somatic done -> {prefix}.somatic.sv")

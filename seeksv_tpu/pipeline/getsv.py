@@ -126,7 +126,8 @@ def get_align_info(recs: BamRecords, i: int) -> AlignInfo:
 
 
 def get_junction(ari: AlignReadsInfo, orientation: str, cai: AlignInfo,
-                 jmap: JunctionMap, aligned2clipped: list) -> None:
+                 jmap: JunctionMap, aligned2clipped: list,
+                 rescue: bool = False) -> None:
     """ref: getsv.cpp:1705-1845."""
     chrom, pos = ari.chr, ari.pos
     cigar_vec = list(ari.cigar)
@@ -139,8 +140,16 @@ def get_junction(ari: AlignReadsInfo, orientation: str, cai: AlignInfo,
     elif cai.type == "r":
         uniq = 1
     else:
-        # 'n': early return (ref: getsv.cpp:1726) — the aligned2clipped
-        # branch below it is unreachable in the reference.
+        # 'n': the reference returns here (getsv.cpp:1726), making its
+        # aligned2clipped rescue branch unreachable and the rescue fastq
+        # always empty (verified against the v1.2.0 oracle too).  With
+        # rescue=True the framework keeps the unmapped clip so the
+        # virus-integration iteration (README.md:55-57) actually works.
+        if rescue:
+            aligned_info = SeqInfo(aligned_seq, cigar_vec, 0, 0, support, 0)
+            aligned2clipped.append(
+                ((chrom, pos), ClipReads(aligned_info, orientation,
+                                         clipped_seq, ari.clipped_qual, "n")))
         return
 
     up = SeqInfo()
@@ -204,7 +213,8 @@ def get_junction(ari: AlignReadsInfo, orientation: str, cai: AlignInfo,
 
 
 def input_soft_info(clipfile: str, samfile: str, jmap: JunctionMap,
-                    aligned2clipped: list, skip_min_mapq: int = 0) -> None:
+                    aligned2clipped: list, skip_min_mapq: int = 0,
+                    rescue: bool = False) -> None:
     """Co-iterate clip.gz with the realigned clip records
     (ref: getsv.h:423-541), preserving grouping/order quirks.
 
@@ -225,7 +235,8 @@ def input_soft_info(clipfile: str, samfile: str, jmap: JunctionMap,
             return
         ari, orient = clip_group[0]  # only the first entry pairs (quirk)
         for key in sorted(align_map):
-            get_junction(ari, orient, align_map[key], jmap, aligned2clipped)
+            get_junction(ari, orient, align_map[key], jmap, aligned2clipped,
+                         rescue)
 
     opener = gzip.open if clipfile.endswith(".gz") else open
     with opener(clipfile, "rt") as fin:
@@ -733,7 +744,7 @@ def getsv(clip_sam: str, original_bam: str, clipfile: str, sv_out: str,
           temp_breakpoint: Optional[str] = None,
           connect_bam: Optional[str] = None, connect_min_mapq: int = 1,
           filtered_out=None, recs: Optional[BamRecords] = None,
-          log=lambda *a: None) -> None:
+          rescue: bool = False, log=lambda *a: None) -> None:
     """Full getsv pass (ref CallGetsv, seeksv.cpp:157-364)."""
     if filtered_out is None:
         filtered_out = sys.stdout
@@ -753,7 +764,8 @@ def getsv(clip_sam: str, original_bam: str, clipfile: str, sv_out: str,
         # mapq 0.  The v1.2.0 oracle binary does not; we follow the oracle
         # (skip_min_mapq stays 0).
 
-    input_soft_info(clipfile, clip_sam, jmap, aligned2clipped, skip_min_mapq)
+    input_soft_info(clipfile, clip_sam, jmap, aligned2clipped, skip_min_mapq,
+                    rescue)
     log("'InputSoftInfoStoreBreakpoint' finished")
     merge_junction(jmap, flank)
 
