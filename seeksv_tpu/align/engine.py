@@ -262,9 +262,16 @@ class BatchAligner(Aligner):
                 return [self._finalize(per_read_codes[ri], len(seq),
                                        results_by_read[ri])
                         for ri, seq in enumerate(seqs)]
+            import jax
             import jax.numpy as jnp
 
-            from ..ops.jax_kernels import sw_extend_batch
+            if jax.devices()[0].platform != "cpu":
+                # the Pallas kernel is ~300x faster than the XLA scan on
+                # TPU and compiles in ~1s (vs ~minutes); CPU falls back to
+                # the XLA kernel (pallas interpret mode is slow)
+                from ..ops.pallas_sw import pallas_extend_batch as sw_extend_batch
+            else:
+                from ..ops.jax_kernels import sw_extend_batch
             lq = np.full((n_jobs, LQ), 4, np.int32)
             lt = np.full((n_jobs, LT), 4, np.int32)
             rq = np.full((n_jobs, LQ), 4, np.int32)

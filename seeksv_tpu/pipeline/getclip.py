@@ -278,8 +278,13 @@ def _store_unmapped(recs, i, id2seq_qual, un1, un2):
 
 
 def _get_sclip_read(recs, i, left_map, right_map, limit, save_low_quality,
-                    first_op, last_op, first_len, last_len, map_len):
-    """GetSClipReads (ref: clip_reads.cpp:112-192)."""
+                    first_op, last_op, first_len, last_len, map_len,
+                    only=None):
+    """GetSClipReads (ref: clip_reads.cpp:112-192).
+
+    only='L'/'R' restricts to one clip side (used by the coordinate-sharded
+    path where the two sides of a both-ends-clipped read belong to
+    different key shards)."""
     sf = first_op[i] == OP_S
     sl = last_op[i] == OP_S
     l_qseq = int(recs.l_qseq[i])
@@ -297,11 +302,15 @@ def _get_sclip_read(recs, i, left_map, right_map, limit, save_low_quality,
         if recs.xc[i] != 0 and not save_low_quality:
             return
         if sf:
+            if only == "R":
+                return
             ll = int(first_len[i])
             s_l, q_l, s_r, q_r = parts(0, ll, l_qseq - ll)
             pos = int(recs.pos[i]) + 1
             left_map.insert(pos, s_l, q_l, s_r, q_r, cigar_vec, limit, LEFT_CLIPPED)
         else:
+            if only == "L":
+                return
             rl = int(last_len[i])
             ll = l_qseq - rl
             s_l, q_l, s_r, q_r = parts(0, ll, rl)
@@ -313,17 +322,23 @@ def _get_sclip_read(recs, i, left_map, right_map, limit, save_low_quality,
         mid = l_qseq - ll - rcl
         if recs.xc[i] != 0 and not save_low_quality:
             if not (recs.flag[i] & 0x10):  # forward: left clip is useful
+                if only == "R":
+                    return
                 s_l, q_l, s_r, q_r = parts(0, ll, mid)
                 pos = int(recs.pos[i]) + 1
                 left_map.insert(pos, s_l, q_l, s_r, q_r, cigar_vec, limit, LEFT_CLIPPED)
             else:  # reverse: right clip is useful
+                if only == "L":
+                    return
                 s_l, q_l, s_r, q_r = parts(ll, ll + mid, rcl)
                 pos = int(recs.pos[i]) + int(map_len[i])
                 right_map.insert(pos, s_l, q_l, s_r, q_r, cigar_vec, limit, RIGHT_CLIPPED)
         else:
-            s_l, q_l, s_r, q_r = parts(0, ll, mid)
-            pos = int(recs.pos[i]) + 1
-            left_map.insert(pos, s_l, q_l, s_r, q_r, cigar_vec, limit, LEFT_CLIPPED)
-            s_l, q_l, s_r, q_r = parts(ll, ll + mid, rcl)
-            pos = int(recs.pos[i]) + int(map_len[i])
-            right_map.insert(pos, s_l, q_l, s_r, q_r, cigar_vec, limit, RIGHT_CLIPPED)
+            if only != "R":
+                s_l, q_l, s_r, q_r = parts(0, ll, mid)
+                pos = int(recs.pos[i]) + 1
+                left_map.insert(pos, s_l, q_l, s_r, q_r, cigar_vec, limit, LEFT_CLIPPED)
+            if only != "L":
+                s_l, q_l, s_r, q_r = parts(ll, ll + mid, rcl)
+                pos = int(recs.pos[i]) + int(map_len[i])
+                right_map.insert(pos, s_l, q_l, s_r, q_r, cigar_vec, limit, RIGHT_CLIPPED)

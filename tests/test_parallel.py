@@ -47,3 +47,24 @@ def test_shard_count_invariance():
     assert cand_map(a) == cand_map(b)
     for key in ("max_score", "qle", "tle", "gscore", "gtle"):
         assert (np.sort(a["sw"][key]) == np.sort(b["sw"][key])).all()
+
+
+def test_sharded_getclip_identical(tmp_path):
+    """Coordinate-sharded getclip reproduces the single-stream output
+    byte-for-byte on the example BAM (SURVEY.md §4: shard-count invariance
+    of the real pipeline, not just the kernels)."""
+    import gzip
+    import pathlib
+    example = pathlib.Path("/root/reference/example")
+    if not example.exists():
+        pytest.skip("example data unavailable")
+    from seeksv_tpu.parallel.sharded_getclip import getclip_sharded
+    from seeksv_tpu.pipeline.getclip import getclip
+    for n_shards in (2, 5):
+        getclip(str(example / "cancer.sort.bam"), str(tmp_path / "ref"))
+        getclip_sharded(str(example / "cancer.sort.bam"),
+                        str(tmp_path / f"sh{n_shards}"), n_shards=n_shards)
+        for suffix in ("clip.gz", "clip.fq.gz"):
+            a = gzip.open(str(tmp_path / f"ref.{suffix}"), "rb").read()
+            b = gzip.open(str(tmp_path / f"sh{n_shards}.{suffix}"), "rb").read()
+            assert a == b, (n_shards, suffix)
