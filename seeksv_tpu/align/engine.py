@@ -53,8 +53,37 @@ class Aligner:
         self.idx = index
 
     @classmethod
-    def from_fasta(cls, path: str, k: int = MIN_SEED_LEN) -> "Aligner":
-        return cls(KmerIndex.build(read_fasta(path), k=k))
+    def from_fasta(cls, path: str, k: int = MIN_SEED_LEN,
+                   cache: bool = True) -> "Aligner":
+        """Build (or load a cached) k-mer index for a reference fasta.
+        The cache lives under ~/.cache/seeksv_tpu (keyed by the fasta's
+        absolute path, invalidated by its mtime) — never next to the
+        fasta, which may live in a read-only tree."""
+        import hashlib
+        import os
+        cdir = os.path.join(os.path.expanduser("~"), ".cache", "seeksv_tpu")
+        key = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:16]
+        cpath = os.path.join(cdir, f"ksi-{key}-k{k}.npz")
+        if cache and os.path.exists(cpath) and \
+                os.path.getmtime(cpath) >= os.path.getmtime(path):
+            try:
+                z = np.load(cpath, allow_pickle=True)
+                return cls(KmerIndex(
+                    k, z["ref"], list(z["chrom_names"]),
+                    z["chrom_starts"], z["keys"], z["positions"]))
+            except Exception:
+                pass
+        idx = KmerIndex.build(read_fasta(path), k=k)
+        if cache:
+            try:
+                os.makedirs(cdir, exist_ok=True)
+                np.savez(cpath, k=k, ref=idx.ref,
+                         chrom_names=np.asarray(idx.chrom_names, object),
+                         chrom_starts=idx.chrom_starts, keys=idx.keys,
+                         positions=idx.positions)
+            except OSError:
+                pass
+        return cls(idx)
 
     # ---- seeding ----
     def _candidates(self, codes: np.ndarray) -> List[Tuple[int, int, int, int]]:

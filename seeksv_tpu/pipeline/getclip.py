@@ -180,10 +180,10 @@ def getclip(bam_path: str, prefix: str, threshold: float = 0.85,
     if recs is None:
         recs = read_bam(bam_path)
 
-    soft_out = gzip.open(f"{prefix}.clip.gz", "wt", compresslevel=6)
-    fq_out = gzip.open(f"{prefix}.clip.fq.gz", "wt", compresslevel=6)
-    un1 = gzip.open(f"{prefix}.unmapped_1.fq.gz", "wt", compresslevel=6)
-    un2 = gzip.open(f"{prefix}.unmapped_2.fq.gz", "wt", compresslevel=6)
+    soft_out = gzip.open(f"{prefix}.clip.gz", "wt", compresslevel=1)
+    fq_out = gzip.open(f"{prefix}.clip.fq.gz", "wt", compresslevel=1)
+    un1 = gzip.open(f"{prefix}.unmapped_1.fq.gz", "wt", compresslevel=1)
+    un2 = gzip.open(f"{prefix}.unmapped_2.fq.gz", "wt", compresslevel=1)
 
     # ---- vectorized classification over all records ----
     flag = recs.flag
