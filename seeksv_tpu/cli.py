@@ -105,6 +105,20 @@ def main(argv=None) -> int:
     pr.add_argument("--rescue", action="store_true")
     pr.add_argument("ref_fa")
     pr.add_argument("bam")
+    pi = sub.add_parser("index", help="build a .bai index (samtools-index role)")
+    pi.add_argument("bam")
+    pw = sub.add_parser("view", help="records overlapping a region "
+                        "(BAI-indexed, samtools-view role)")
+    pw.add_argument("bam")
+    pw.add_argument("region", help="chrom:beg-end (1-based)")
+    ps = sub.add_parser("simulate",
+                        help="generate a truth-bearing synthetic dataset")
+    ps.add_argument("-G", type=int, default=1_000_000, dest="genome_len")
+    ps.add_argument("-c", type=float, default=30.0, dest="coverage")
+    ps.add_argument("--dels", type=int, default=10)
+    ps.add_argument("--invs", type=int, default=2)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("-o", default="sim", dest="prefix")
     pc = sub.add_parser("compare", help="compare SV result files")
     pc.add_argument("mode", choices=["simu", "crest", "seeksv"])
     pc.add_argument("-l", type=int, default=50, dest="fuzz")
@@ -158,6 +172,47 @@ def main(argv=None) -> int:
         run_pipeline(args.ref_fa, args.bam, args.prefix,
                      normal_bam=args.normal, rescue=args.rescue,
                      log=lambda *a: print(*a, file=sys.stderr))
+    elif args.cmd == "index":
+        from .io.bai import build_index
+        print(build_index(args.bam), file=sys.stderr)
+    elif args.cmd == "view":
+        from .io.bai import view_region
+        chrom, rng = args.region.split(":")
+        b, e = (int(x) for x in rng.split("-"))
+        try:
+            for r in view_region(args.bam, chrom, b, e):
+                print(f"{r['qname']}\t{r['flag']}\t{chrom}\t{r['pos'] + 1}\t"
+                      f"{r['mapq']}\t{r['cigar']}\t{r['seq']}")
+        except BrokenPipeError:
+            import os
+            os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+    elif args.cmd == "simulate":
+        import numpy as np
+        from .utils.simulate import (build_donor, random_genome,
+                                     simulate_reads, write_fasta)
+        rng = np.random.default_rng(args.seed)
+        G = args.genome_len
+        ref = {"chrS": random_genome(rng, G)}
+        # non-overlapping event slots across the genome
+        n_ev = args.dels + args.invs
+        margin = max(G // 20, 1000)
+        slots = np.linspace(margin, G - margin - 3000, max(n_ev, 1))
+        kinds = ["del"] * args.dels + ["inv"] * args.invs
+        rng.shuffle(kinds)
+        dels, invs = [], []
+        for p, kind in zip(slots, kinds):
+            ln = int(rng.integers(200, 3000))
+            (dels if kind == "del" else invs).append((int(p), int(p) + ln))
+        donor = build_donor(ref, deletions=dels, inversions=invs)
+        write_fasta(f"{args.prefix}.ref.fa", ref)
+        n = simulate_reads(donor, ["chrS"], [G], f"{args.prefix}.bam",
+                           coverage=args.coverage, seed=args.seed)
+        with open(f"{args.prefix}.truth.txt", "w") as f:
+            for t in donor.truth:
+                f.write("\t".join(str(x) for x in t) + "\n")
+        print(f"wrote {args.prefix}.bam ({n} records), "
+              f"{args.prefix}.ref.fa, {args.prefix}.truth.txt",
+              file=sys.stderr)
     elif args.cmd == "vcf":
         from .pipeline.vcf import breakpoint_to_vcf
         breakpoint_to_vcf(args.breakpoint, args.template_vcf, args.out_vcf)
