@@ -283,24 +283,25 @@ class BatchAligner(Aligner):
             LQ = self._bucket(max_q)
             LT = self._bucket(max_q + 100)
             if not force_device and n_jobs * LQ * LT * 2 < self.MIN_DEVICE_CELLS:
-                for ri, strand, diag, q_start, anchor_len, tid in jobs:
-                    r = self._extend_candidate(per_read_codes[ri][strand],
-                                               diag, q_start, anchor_len)
-                    if r is not None:
-                        results_by_read[ri].append((strand,) + r)
-                return [self._finalize(per_read_codes[ri], len(seq),
-                                       results_by_read[ri])
-                        for ri, seq in enumerate(seqs)]
-            import jax
-            import jax.numpy as jnp
+                # host path: same batched structure, numpy kernel
+                from .sw import extend_batch_np
 
-            if jax.devices()[0].platform != "cpu":
-                # the Pallas kernel is ~300x faster than the XLA scan on
-                # TPU and compiles in ~1s (vs ~minutes); CPU falls back to
-                # the XLA kernel (pallas interpret mode is slow)
-                from ..ops.pallas_sw import pallas_extend_batch as sw_extend_batch
+                def sw_extend_batch(q, ql, t, tl, h):
+                    return extend_batch_np(np.asarray(q), np.asarray(ql),
+                                           np.asarray(t), np.asarray(tl),
+                                           np.asarray(h))
+                jnp = np
             else:
-                from ..ops.jax_kernels import sw_extend_batch
+                import jax
+                import jax.numpy as jnp
+
+                if jax.devices()[0].platform != "cpu":
+                    # the Pallas kernel is ~300x faster than the XLA scan
+                    # on TPU and compiles in ~1s (vs ~minutes); CPU falls
+                    # back to the XLA kernel (pallas interpret is slow)
+                    from ..ops.pallas_sw import pallas_extend_batch as sw_extend_batch
+                else:
+                    from ..ops.jax_kernels import sw_extend_batch
             lq = np.full((n_jobs, LQ), 4, np.int32)
             lt = np.full((n_jobs, LT), 4, np.int32)
             rq = np.full((n_jobs, LQ), 4, np.int32)

@@ -102,6 +102,70 @@ def extend_score(query: np.ndarray, target: np.ndarray, h0: int,
     return ExtendResult(int(best), qle, tle, int(gscore), gtle)
 
 
+def extend_batch_np(q: np.ndarray, qlen: np.ndarray, t: np.ndarray,
+                    tlen: np.ndarray, h0: np.ndarray, zdrop: int = 100):
+    """Vectorized-over-jobs extension scoring (numpy mirror of the
+    jax/pallas kernels; same results as per-job extend_score).  Used as
+    the host path of BatchAligner — one [B, LQ] matrix op per target
+    column instead of per-job python loops."""
+    B, LQ = q.shape
+    LT = t.shape[1]
+    qlen = qlen.astype(np.int64)
+    tlen = tlen.astype(np.int64)
+    h0 = h0.astype(np.int64)
+    jidx = np.arange(1, LQ + 1, dtype=np.int64)[None, :]
+    valid_q = jidx <= qlen[:, None]
+    row0 = h0[:, None] - GAP_OPEN - jidx * GAP_EXT
+    h = np.where((row0 >= 0) & valid_q, row0, NEG_INF)
+    h_first = h0.copy()
+    e = np.full((B, LQ), NEG_INF, np.int64)
+    best = h0.copy()
+    qle = np.zeros(B, np.int64)
+    tle = np.zeros(B, np.int64)
+    gscore = np.full(B, NEG_INF, np.int64)
+    gtle = np.zeros(B, np.int64)
+    dead = np.zeros(B, bool)
+    at_qlen = jidx == qlen[:, None]
+    qlen_zero = qlen == 0
+    q_ambig = q > 3
+    bidx = np.arange(B)
+    for i in range(LT):
+        active = (i < tlen) & ~dead
+        if not active.any():
+            break
+        tcol = t[:, i][:, None]
+        sub = np.where(q_ambig | (tcol > 3), AMBIG,
+                       np.where(q == tcol, MATCH, -MISMATCH))
+        diag = np.concatenate([h_first[:, None], h[:, :-1]], axis=1) + sub
+        ecand = np.maximum(h - GAP_OPEN, e) - GAP_EXT
+        g = np.maximum(diag, ecand)
+        h0_col = h0 - GAP_OPEN - (i + 1) * GAP_EXT
+        u = g + jidx * GAP_EXT
+        pref = np.concatenate(
+            [np.full((B, 1), NEG_INF, np.int64),
+             np.maximum.accumulate(u, axis=1)[:, :-1]], axis=1)
+        f = pref - GAP_OPEN - jidx * GAP_EXT
+        h_row = np.where(valid_q, np.maximum(g, f), NEG_INF)
+        amax = h_row.argmax(axis=1)
+        row_best = h_row[bidx, amax]
+        improved = active & (row_best > best)
+        best = np.where(improved, row_best, best)
+        qle = np.where(improved, amax + 1, qle)
+        tle = np.where(improved, i + 1, tle)
+        h_at_qlen = np.where(
+            qlen_zero, h0_col,
+            np.where(at_qlen, h_row, NEG_INF).max(axis=1))
+        gimp = active & (h_at_qlen > gscore)
+        gscore = np.where(gimp, h_at_qlen, gscore)
+        gtle = np.where(gimp, i + 1, gtle)
+        dead |= active & (row_best < best - zdrop)
+        h_first = np.where(active, h0_col, h_first)
+        h = np.where(active[:, None], h_row, h)
+        e = np.where(active[:, None], np.where(valid_q, ecand, NEG_INF), e)
+    return {"max_score": best, "qle": qle, "tle": tle,
+            "gscore": gscore, "gtle": gtle}
+
+
 def global_align(query: np.ndarray, target: np.ndarray,
                  w: int = 100) -> Tuple[int, List[Tuple[int, str]]]:
     """Banded affine global alignment with traceback -> (score, cigar).

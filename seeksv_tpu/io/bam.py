@@ -74,6 +74,7 @@ class BamRecords:
     qual: np.ndarray      # uint8 raw phred concat (0xff = missing)
     seq_off: np.ndarray   # int64 [n+1]
     xc: np.ndarray        # int32 [n]; XC aux tag value, 0 when absent
+    owner: object = None  # keep-alive for zero-copy native buffers
 
     # ---- per-record accessors (host-side passes) ----
     def cigar(self, i: int) -> np.ndarray:
@@ -146,6 +147,33 @@ class BamRecords:
         vals = np.where(consume, lens, 0)
         csum = np.concatenate([[0], np.cumsum(vals)])
         return (csum[self.cig_off[1:]] - csum[self.cig_off[:-1]]).astype(np.int32)
+
+
+class LazyQnames:
+    """List-like view over a concatenated qname blob + offsets; avoids
+    materializing hundreds of thousands of bytes objects when qnames are
+    only touched for the sparse unmapped/clip subsets."""
+
+    __slots__ = ("blob", "off")
+
+    def __init__(self, blob: bytes, off: np.ndarray):
+        self.blob = blob
+        self.off = off
+
+    def __len__(self):
+        return len(self.off) - 1
+
+    def __getitem__(self, i):
+        return self.blob[self.off[i]:self.off[i + 1]]
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __eq__(self, other):
+        if len(self) != len(other):
+            return False
+        return all(a == b for a, b in zip(self, other))
 
 
 def _parse_header_text(text: str) -> Tuple[List[str], List[int]]:

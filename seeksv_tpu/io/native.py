@@ -78,47 +78,63 @@ def available() -> bool:
     return _load() is not None
 
 
-def _arr(ptr, n, dtype):
+class _Owner:
+    """Keeps the native BamSoA alive while zero-copy views reference it."""
+
+    def __init__(self, lib, handle):
+        self.lib = lib
+        self.handle = handle
+
+    def __del__(self):
+        try:
+            self.lib.seeksv_bam_free(self.handle)
+        except Exception:
+            pass
+
+
+def _view(ptr, n, dtype):
     if n == 0:
         return np.zeros(0, dtype)
-    return np.ctypeslib.as_array(ptr, shape=(int(n),)).astype(dtype, copy=True)
+    return np.ctypeslib.as_array(ptr, shape=(int(n),)).view(dtype)
 
 
 def read_bam_native(path: str, n_threads: int = 0):
     from .bam import BamRecords
 
+    from .bam import LazyQnames
+
     lib = _load()
     if lib is None:
         raise RuntimeError("native library not built")
     h = lib.seeksv_bam_decode(path.encode(), n_threads)
-    try:
-        s = h.contents
-        if s.n == 0 and s.error and s.error != b"":
-            raise IOError(f"{path}: {s.error.decode()}")
-        n = int(s.n)
-        qname_off = _arr(s.qname_off, n + 1, np.int64)
-        qblob = _arr(s.qnames, s.n_qname_total, np.uint8).tobytes()
-        qnames = [qblob[qname_off[i]:qname_off[i + 1]] for i in range(n)]
-        names_blob = _arr(s.ref_names, s.ref_names_len, np.uint8).tobytes()
-        ref_names = [x.decode() for x in names_blob.split(b"\x00") if x]
-        ref_lens = _arr(s.ref_lens, s.n_refs, np.int32).tolist()
-        return BamRecords(
-            ref_names=ref_names, ref_lens=[int(x) for x in ref_lens], n=n,
-            flag=_arr(s.flag, n, np.int32), tid=_arr(s.tid, n, np.int32),
-            pos=_arr(s.pos, n, np.int32), mapq=_arr(s.mapq, n, np.int32),
-            mtid=_arr(s.mtid, n, np.int32), mpos=_arr(s.mpos, n, np.int32),
-            isize=_arr(s.isize, n, np.int32),
-            l_qseq=_arr(s.l_qseq, n, np.int32),
-            qnames=qnames,
-            cig=_arr(s.cig, s.n_cig_total, np.uint32),
-            cig_off=_arr(s.cig_off, n + 1, np.int64),
-            seq=_arr(s.seq, s.n_seq_total, np.uint8),
-            qual=_arr(s.qual, s.n_seq_total, np.uint8),
-            seq_off=_arr(s.seq_off, n + 1, np.int64),
-            xc=_arr(s.xc, n, np.int32),
-        )
-    finally:
+    s = h.contents
+    if s.n == 0 and s.error and s.error != b"":
+        err = s.error.decode()
         lib.seeksv_bam_free(h)
+        raise IOError(f"{path}: {err}")
+    owner = _Owner(lib, h)
+    n = int(s.n)
+    qname_off = _view(s.qname_off, n + 1, np.int64)
+    qblob = _view(s.qnames, s.n_qname_total, np.uint8).tobytes()
+    names_blob = _view(s.ref_names, s.ref_names_len, np.uint8).tobytes()
+    ref_names = [x.decode() for x in names_blob.split(b"\x00") if x]
+    ref_lens = _view(s.ref_lens, s.n_refs, np.int32).tolist()
+    return BamRecords(
+        ref_names=ref_names, ref_lens=[int(x) for x in ref_lens], n=n,
+        flag=_view(s.flag, n, np.int32), tid=_view(s.tid, n, np.int32),
+        pos=_view(s.pos, n, np.int32), mapq=_view(s.mapq, n, np.int32),
+        mtid=_view(s.mtid, n, np.int32), mpos=_view(s.mpos, n, np.int32),
+        isize=_view(s.isize, n, np.int32),
+        l_qseq=_view(s.l_qseq, n, np.int32),
+        qnames=LazyQnames(qblob, qname_off),
+        cig=_view(s.cig, s.n_cig_total, np.uint32),
+        cig_off=_view(s.cig_off, n + 1, np.int64),
+        seq=_view(s.seq, s.n_seq_total, np.uint8),
+        qual=_view(s.qual, s.n_seq_total, np.uint8),
+        seq_off=_view(s.seq_off, n + 1, np.int64),
+        xc=_view(s.xc, n, np.int32),
+        owner=owner,
+    )
 
 
 def coverage_diff(starts: np.ndarray, ends: np.ndarray,

@@ -22,7 +22,7 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from ..io.bam import BamRecords, FDUP, FMUNMAP, FREAD1, FUNMAP, OP_H, OP_S, read_bam
-from ..pipeline.getclip import (LEFT_CLIPPED, RIGHT_CLIPPED, BreakpointMap,
+from ..pipeline.getclip import (BreakpointMap,
                                 _get_sclip_read, _map_len_no_x,
                                 _store_unmapped, _write_chrom)
 
@@ -60,7 +60,6 @@ def getclip_sharded(bam_path: str, prefix: str, n_shards: int = 4,
     last_tid = 0
     # tid runs + the reference's dropped-first-record quirk, computed
     # globally before sharding
-    emitted_tids: List[Tuple[int, np.ndarray]] = []
     if len(mapped_idx):
         mtids = recs.tid[mapped_idx]
         run_starts = np.concatenate(

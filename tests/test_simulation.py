@@ -34,8 +34,8 @@ def _run_pipeline(tmp_path, ref, donor, ref_names, ref_lens, seed=1,
             f.readline()
             quals.append(f.readline().strip())
     alns = al.batch_align(seqs)
-    import bench
-    bench._write_sam(al, seqs, quals, alns, f"{d}/s.clip.sam")
+    from seeksv_tpu.pipeline.driver import write_sam
+    write_sam(al, seqs, quals, alns, f"{d}/s.clip.sam")
     getsv(f"{d}/s.clip.sam", f"{d}/sim.bam", f"{d}/s.clip.gz",
           f"{d}/s.sv", f"{d}/s.fq", recs=recs, filtered_out=io.StringIO())
     calls = []
