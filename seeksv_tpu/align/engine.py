@@ -14,14 +14,13 @@ from __future__ import annotations
 import gzip
 import math
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
 from ..io.fasta import read_fasta
 from .index import ENCODE, KmerIndex
-from .sw import (GAP_EXT, GAP_OPEN, MATCH, MISMATCH, PEN_CLIP,
-                 extend_score, global_align)
+from .sw import (MATCH, MISMATCH, PEN_CLIP, extend_score, global_align)
 
 MIN_SEED_LEN = 19
 SCORE_T = 30

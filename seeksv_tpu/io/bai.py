@@ -248,7 +248,7 @@ def view_region(bam_path: str, chrom: str, beg1: int, end1: int,
                 bai_path: Optional[str] = None):
     """Yield record dicts overlapping chrom:[beg1, end1] (1-based closed),
     via the BAI index — the `samtools view region` / bam_iter_query role."""
-    from .bam import CIGAR_CHARS, SEQ_NT16, read_bam_python
+    from .bam import CIGAR_CHARS, SEQ_NT16
 
     idx = BaiIndex.load(bai_path or bam_path + ".bai")
     rdr = BgzfRandomReader(bam_path)

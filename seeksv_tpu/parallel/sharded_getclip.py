@@ -21,7 +21,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from ..io.bam import BamRecords, FDUP, FMUNMAP, FREAD1, FUNMAP, OP_H, OP_S, read_bam
+from ..io.bam import BamRecords, FDUP, FMUNMAP, FUNMAP, OP_H, OP_S, read_bam
 from ..pipeline.getclip import (BreakpointMap,
                                 _get_sclip_read, _map_len_no_x,
                                 _store_unmapped, _write_chrom)

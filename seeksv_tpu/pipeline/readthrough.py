@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Dict
 
-from ..io.bam import (BamRecords, FDUP, FUNMAP, OP_H, OP_M, OP_S, read_bam)
+from ..io.bam import FDUP, FUNMAP, OP_H, OP_M, OP_S, read_bam
 from ..ops import cigar as cg
 from ..ops.matchrate import revcomp
 from .junctions import JunctionMap, OtherInfo, SeqInfo

@@ -18,7 +18,6 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 from ..io.bam import BamRecords, read_bam
-from ..ops import cigar as cg
 from ..ops.matchrate import (match_rate_begin, match_rate_end, revcomp,
                              seed_containment)
 from .getsv import DiscordantCounter, calculate_insert_size, fmt_g

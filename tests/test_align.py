@@ -65,3 +65,22 @@ def test_self_contained_pipeline(tmp_path, example_dir, golden_dir, sample):
           f"{prefix}.clip.gz", str(sv), str(tmp_path / "r.fq"),
           filtered_out=io.StringIO())
     assert sv.read_bytes() == (example_dir / f"{sample}.sv").read_bytes()
+
+
+def test_aligner_indel_cigar(tmp_path, example_dir):
+    """Reads with small indels vs the reference produce I/D cigars."""
+    from seeksv_tpu.io.fasta import read_fasta
+    fa = read_fasta(str(example_dir / "reference/example.fa"))
+    chr17 = fa["chr17"].tobytes()
+    al = Aligner.from_fasta(str(example_dir / "reference/example.fa"))
+    base = chr17[10_000:10_060]
+    # 2bp deletion in the read relative to the reference
+    read_del = base[:30] + base[32:]
+    a = al.align(read_del)
+    assert a.mapped and a.pos == 10_000
+    assert any(op == "D" for _, op in a.cigar), a.cigar
+    # 2bp insertion
+    read_ins = base[:30] + b"GG" + base[30:]
+    b = al.align(read_ins)
+    assert b.mapped and b.pos == 10_000
+    assert any(op == "I" for _, op in b.cigar), b.cigar
