@@ -1,0 +1,134 @@
+"""Randomized differential testing against the reference binary: simulated
+datasets (including minus-strand junctions, repeats triggering mapq-0
+'r' classifications, and nearby junctions exercising MergeJunction) are fed
+identically to the v1.2.0 binary and to this framework; sv outputs must be
+byte-identical.  This covers code paths the committed example never
+reaches (the example has no '-' strand junctions at all)."""
+import gzip
+import io
+import os
+import shutil
+import stat
+import subprocess
+
+import numpy as np
+import pytest
+
+from seeksv_tpu.io.bai import build_index
+from seeksv_tpu.pipeline.driver import realign_clips
+from seeksv_tpu.pipeline.getclip import getclip
+from seeksv_tpu.pipeline.getsv import getsv
+from seeksv_tpu.pipeline.somatic import somatic
+from seeksv_tpu.utils.simulate import (build_donor, random_genome,
+                                       simulate_reads, write_fasta)
+
+BIN_SRC = "/root/reference/example/bin/seeksv"
+
+
+@pytest.fixture(scope="module")
+def ref_bin(tmp_path_factory):
+    if not os.path.exists(BIN_SRC):
+        pytest.skip("reference binary unavailable")
+    d = tmp_path_factory.mktemp("bin")
+    dst = str(d / "seeksv")
+    shutil.copy(BIN_SRC, dst)
+    os.chmod(dst, os.stat(dst).st_mode | stat.S_IXUSR)
+    return dst
+
+
+def _genome(rng, G, with_repeat=False):
+    g = random_genome(rng, G)
+    if with_repeat:
+        # duplicate a 1.5kb block to create multi-mapping regions
+        src = G // 5
+        dst = 3 * G // 5
+        g[dst:dst + 1500] = g[src:src + 1500]
+    return g
+
+
+def _prep(tmp_path, seed, events, with_repeat=False, G=100_000, coverage=35):
+    rng = np.random.default_rng(seed)
+    ref = {"chr17": _genome(rng, G, with_repeat)}
+    donor = build_donor(ref, **events)
+    d = str(tmp_path)
+    simulate_reads(donor, ["chr17"], [G], f"{d}/sim.bam",
+                   coverage=coverage, seed=seed)
+    build_index(f"{d}/sim.bam")
+    write_fasta(f"{d}/ref.fa", ref)
+    getclip(f"{d}/sim.bam", f"{d}/s")
+    realign_clips(f"{d}/ref.fa", f"{d}/s.clip.fq.gz", f"{d}/s.clip.sam")
+    return d
+
+
+def _compare_getsv(ref_bin, d):
+    getsv(f"{d}/s.clip.sam", f"{d}/sim.bam", f"{d}/s.clip.gz",
+          f"{d}/ours.sv", f"{d}/ours.fq", filtered_out=io.StringIO())
+    r = subprocess.run(
+        [ref_bin, "getsv", f"{d}/s.clip.sam", f"{d}/sim.bam",
+         f"{d}/s.clip.gz", f"{d}/ref.sv", f"{d}/ref.fq"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-500:]
+    a = open(f"{d}/ours.sv").read()
+    b = open(f"{d}/ref.sv").read()
+    assert a == b, "getsv outputs differ from reference binary"
+
+
+@pytest.mark.parametrize("seed,events,with_repeat", [
+    (41, dict(deletions=[(20_000, 22_000)],
+              inversions=[(50_000, 52_000), (80_000, 80_700)]), False),
+    (42, dict(deletions=[(30_000, 30_400), (30_900, 31_600)]), False),  # nearby: MergeJunction
+    (43, dict(deletions=[(25_000, 26_000)], inversions=[(70_000, 71_000)]), True),  # repeats
+    (44, dict(inversions=[(15_000, 15_600), (40_000, 45_000),
+                          (85_000, 86_000)]), False),
+])
+def test_fuzz_getsv_vs_binary(tmp_path, ref_bin, seed, events, with_repeat):
+    d = _prep(tmp_path, seed, events, with_repeat)
+    _compare_getsv(ref_bin, d)
+
+
+def test_fuzz_getclip_vs_binary(tmp_path, ref_bin):
+    """getclip parity on a simulated dataset with INV clips (both sides)."""
+    d = _prep(tmp_path, 45, dict(deletions=[(20_000, 21_000)],
+                                 inversions=[(60_000, 62_000)]))
+    r = subprocess.run([ref_bin, "getclip", "-o", f"{d}/ref", f"{d}/sim.bam"],
+                       capture_output=True)
+    assert r.returncode == 0
+    for suffix in ("clip.gz", "clip.fq.gz"):
+        a = gzip.open(f"{d}/s.{suffix}", "rb").read()
+        b = gzip.open(f"{d}/ref.{suffix}", "rb").read()
+        assert a == b, suffix
+
+
+def test_fuzz_somatic_vs_binary(tmp_path, ref_bin):
+    """Somatic subtraction differential on a simulated tumor/normal pair
+    (germline DEL + INV shared; somatic DEL + INV tumor-only)."""
+    rng = np.random.default_rng(47)
+    G = 100_000
+    ref = {"chr17": random_genome(rng, G)}
+    germ = dict(deletions=[(20_000, 21_000)], inversions=[(70_000, 71_000)])
+    tum = dict(deletions=[(20_000, 21_000), (45_000, 47_000)],
+               inversions=[(70_000, 71_000), (85_000, 85_600)])
+    d = str(tmp_path)
+    write_fasta(f"{d}/ref.fa", ref)
+    simulate_reads(build_donor(ref, **tum), ["chr17"], [G],
+                   f"{d}/tumor.bam", coverage=35, seed=48)
+    simulate_reads(build_donor(ref, **germ), ["chr17"], [G],
+                   f"{d}/normal.bam", coverage=35, seed=49)
+    build_index(f"{d}/tumor.bam")
+    build_index(f"{d}/normal.bam")
+    for s in ("tumor", "normal"):
+        getclip(f"{d}/{s}.bam", f"{d}/{s}")
+        realign_clips(f"{d}/ref.fa", f"{d}/{s}.clip.fq.gz",
+                      f"{d}/{s}.clip.sam")
+    getsv(f"{d}/tumor.clip.sam", f"{d}/tumor.bam", f"{d}/tumor.clip.gz",
+          f"{d}/tumor.sv", f"{d}/t.fq", filtered_out=io.StringIO())
+    somatic(f"{d}/normal.bam", f"{d}/normal.clip.gz", f"{d}/tumor.sv",
+            f"{d}/ours.somatic.sv")
+    r = subprocess.run(
+        [ref_bin, "somatic", f"{d}/normal.bam", f"{d}/normal.clip.gz",
+         f"{d}/tumor.sv", f"{d}/ref.somatic.sv"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-500:]
+    a = open(f"{d}/ours.somatic.sv").read()
+    b = open(f"{d}/ref.somatic.sv").read()
+    assert a == b, "somatic outputs differ from reference binary"
