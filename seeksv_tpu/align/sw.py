@@ -129,7 +129,7 @@ def extend_batch_np(q: np.ndarray, qlen: np.ndarray, t: np.ndarray,
     qlen_zero = qlen == 0
     q_ambig = q > 3
     bidx = np.arange(B)
-    for i in range(LT):
+    for i in range(min(LT, int(tlen.max(initial=0)))):
         active = (i < tlen) & ~dead
         if not active.any():
             break
