@@ -132,3 +132,78 @@ def test_fuzz_somatic_vs_binary(tmp_path, ref_bin):
     a = open(f"{d}/ours.somatic.sv").read()
     b = open(f"{d}/ref.somatic.sv").read()
     assert a == b, "somatic outputs differ from reference binary"
+
+
+def test_fuzz_ctx_vs_binary(tmp_path, ref_bin):
+    """Inter-chromosomal junction (CTX) differential: a donor spliced from
+    two chromosomes."""
+    from seeksv_tpu.utils.simulate import Donor, Segment
+    rng = np.random.default_rng(51)
+    GA, GB = 60_000, 60_000
+    ref = {"chr17": random_genome(rng, GA), "chrM": random_genome(rng, GB)}
+    segs = [Segment("chr17", 0, 30_000, 1), Segment("chrM", 10_000, GB, 1)]
+    parts = [ref["chr17"][0:30_000], ref["chrM"][10_000:GB]]
+    bounds = np.asarray([0, 30_000, 30_000 + GB - 10_000], np.int64)
+    donor = Donor(segs, np.concatenate(parts), bounds, [])
+    d = str(tmp_path)
+    simulate_reads(donor, ["chr17", "chrM"], [GA, GB], f"{d}/sim.bam",
+                   coverage=35, seed=52)
+    build_index(f"{d}/sim.bam")
+    write_fasta(f"{d}/ref.fa", ref)
+    getclip(f"{d}/sim.bam", f"{d}/s")
+    realign_clips(f"{d}/ref.fa", f"{d}/s.clip.fq.gz", f"{d}/s.clip.sam")
+    _compare_getsv(ref_bin, d)
+    # and the CTX junction is actually called
+    calls = [l.split("\t") for l in open(f"{d}/ours.sv")
+             if not l.startswith("@")]
+    assert any(f[10] == "CTX" for f in calls), calls
+
+
+@pytest.mark.parametrize("flags", [
+    ("-b", "10"), ("-d", "1000"), ("-e", "60"), ("-T", "0"),
+    ("-m", "80"), ("-D",), ("-l", "0"), ("-n", "0"), ("-f", "0.9"),
+    ("-q", "40"), ("-i", "0"), ("-L", "50"),
+])
+def test_flag_matrix_vs_binary(tmp_path, ref_bin, example_dir,
+                               golden_dir, flags):
+    """Every getsv tuning flag, differentially against the binary on the
+    example data (filters, depth windows, insert-size gates)."""
+    bam = str(example_dir / "cancer.sort.bam")
+    clip_sam = str(golden_dir / "cancer.clip.sam")
+    clip_gz = str(golden_dir / "cancer.clip.gz")
+    ref_sv = str(tmp_path / "ref.sv")
+    r = subprocess.run([ref_bin, "getsv", *flags, clip_sam, bam, clip_gz,
+                        ref_sv, str(tmp_path / "ref.fq")],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-400:]
+    kw = {}
+    it = iter(flags)
+    for f in it:
+        if f == "-b":
+            kw["sum_min_both_clip"] = int(next(it))
+        elif f == "-d":
+            kw["min_distance"] = int(next(it))
+        elif f == "-e":
+            kw["min_abnormal"] = int(next(it))
+        elif f == "-T":
+            kw["max_microhomology"] = int(next(it))
+        elif f == "-m":
+            kw["min_seq_len"] = int(next(it))
+        elif f == "-D":
+            kw["output_depth"] = False
+        elif f == "-l":
+            kw["flank"] = int(next(it))
+        elif f == "-n":
+            kw["read_pair_used"] = int(next(it))
+        elif f == "-f":
+            kw["frequency"] = float(next(it))
+        elif f == "-q":
+            kw["min_mapq"] = int(next(it))
+        elif f == "-i":
+            kw["max_seq_indel_no"] = int(next(it))
+        elif f == "-L":
+            kw["flank_length"] = int(next(it))
+    our_sv = str(tmp_path / "our.sv")
+    getsv(clip_sam, bam, clip_gz, our_sv, str(tmp_path / "our.fq"),
+          filtered_out=io.StringIO(), **kw)
+    assert open(our_sv).read() == open(ref_sv).read(), flags
