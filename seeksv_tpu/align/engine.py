@@ -260,21 +260,27 @@ class BatchAligner(Aligner):
 
     def batch_align(self, seqs: List[bytes],
                     force_device: bool = False) -> List[Alignment]:
+        from .seed_batch import batch_candidates
+
         idx = self.idx
-        jobs = []  # (read_i, strand, codes, diag, q_start, anchor_len, tid, c_lo, c_hi)
+        jobs = []  # (read_i, strand, diag, q_start, anchor_len, tid)
         per_read_codes: List[Tuple[np.ndarray, np.ndarray]] = []
-        for ri, seq in enumerate(seqs):
+        strand_reads: List[np.ndarray] = []
+        for seq in seqs:
             fwd = ENCODE[np.frombuffer(seq, np.uint8)]
             rev = fwd[::-1].copy()
             rev = np.where(rev < 4, 3 - rev, 4).astype(np.uint8)
             per_read_codes.append((fwd, rev))
-            for strand, codes in ((0, fwd), (1, rev)):
-                for diag, q_start, anchor_len, _v in self._candidates(codes):
-                    ref_anchor = diag + q_start
-                    tid = idx.tid_of(ref_anchor)
-                    if tid < 0:
-                        continue
-                    jobs.append((ri, strand, diag, q_start, anchor_len, tid))
+            strand_reads.extend((fwd, rev))
+        cands = batch_candidates(idx, strand_reads)
+        for job_i, cand_list in cands.items():
+            ri, strand = divmod(job_i, 2)
+            for diag, q_start, anchor_len, _v in cand_list:
+                ref_anchor = diag + q_start
+                tid = idx.tid_of(ref_anchor)
+                if tid < 0:
+                    continue
+                jobs.append((ri, strand, diag, q_start, anchor_len, tid))
         results_by_read: Dict[int, list] = {i: [] for i in range(len(seqs))}
         if jobs:
             n_jobs = len(jobs)

@@ -111,6 +111,12 @@ def main(argv=None) -> int:
                         "(BAI-indexed, samtools-view role)")
     pw.add_argument("bam")
     pw.add_argument("region", help="chrom:beg-end (1-based)")
+    pcl = sub.add_parser(
+        "cluster", help="insert-size model (the reference's disabled "
+                        "`cluster` subcommand, ref: seeksv.cpp:415-442)")
+    pcl.add_argument("-n", type=int, default=5_000_000, dest="read_pair_used")
+    pcl.add_argument("-q", type=int, default=20, dest="min_mapq")
+    pcl.add_argument("bam")
     ps = sub.add_parser("simulate",
                         help="generate a truth-bearing synthetic dataset")
     ps.add_argument("-G", type=int, default=1_000_000, dest="genome_len")
@@ -123,6 +129,12 @@ def main(argv=None) -> int:
     pc.add_argument("mode", choices=["simu", "crest", "seeksv"])
     pc.add_argument("-l", type=int, default=50, dest="fuzz")
     pc.add_argument("-n", dest="n_region_file", default=None)
+    pc.add_argument("-t", action="store_true", dest="target_is_crest",
+                    help="target file is in CREST format")
+    pc.add_argument("-c", default="chr17", dest="chrom",
+                    help="chromosome for simu truth [chr17]")
+    pc.add_argument("--cnv", default=None, dest="cnv_file",
+                    help="simu-mode CNV truth file (lins/ldel)")
     pc.add_argument("control")
     pc.add_argument("target")
     pc.add_argument("out_prefix")
@@ -213,13 +225,23 @@ def main(argv=None) -> int:
         print(f"wrote {args.prefix}.bam ({n} records), "
               f"{args.prefix}.ref.fa, {args.prefix}.truth.txt",
               file=sys.stderr)
+    elif args.cmd == "cluster":
+        from .io.bam import read_bam
+        from .pipeline.getsv import calculate_insert_size
+        recs = read_bam(args.bam)
+        mean, dev = calculate_insert_size(recs, args.min_mapq,
+                                          args.read_pair_used)
+        print(f"Bam/sam {args.bam}    Mean insert size : {mean}\n"
+              f"Mean deviation: {dev}", file=sys.stderr)
     elif args.cmd == "vcf":
         from .pipeline.vcf import breakpoint_to_vcf
         breakpoint_to_vcf(args.breakpoint, args.template_vcf, args.out_vcf)
     elif args.cmd == "compare":
         from .pipeline.svcompare import compare
         compare(args.mode, args.control, args.target, args.out_prefix,
-                fuzz=args.fuzz, n_region_file=args.n_region_file)
+                fuzz=args.fuzz, n_region_file=args.n_region_file,
+                target_is_crest=args.target_is_crest, chrom=args.chrom,
+                cnv_file=args.cnv_file)
     return 0
 
 

@@ -84,3 +84,31 @@ def test_aligner_indel_cigar(tmp_path, example_dir):
     b = al.align(read_ins)
     assert b.mapped and b.pos == 10_000
     assert any(op == "I" for _, op in b.cigar), b.cigar
+
+
+def test_batch_seeding_equivalence(example_dir):
+    """Batched seeding (align.seed_batch) returns exactly the per-read
+    _candidates output for every clip sequence of the example."""
+    import gzip
+    from seeksv_tpu.align.index import ENCODE
+    from seeksv_tpu.align.seed_batch import batch_candidates
+    al = Aligner.from_fasta(str(example_dir / "reference/example.fa"))
+    seqs = []
+    import pathlib
+    with gzip.open(str(pathlib.Path(__file__).parent / "golden"
+                       / "cancer.clip.fq.gz"), "rt") as f:
+        while True:
+            h = f.readline()
+            if not h:
+                break
+            seqs.append(f.readline().strip().encode())
+            f.readline()
+            f.readline()
+    reads = []
+    for s in seqs:
+        fwd = ENCODE[np.frombuffer(s, np.uint8)]
+        rev = np.where(fwd[::-1] < 4, 3 - fwd[::-1], 4).astype(np.uint8)
+        reads.extend([fwd, rev])
+    batch = batch_candidates(al.idx, reads)
+    for i, codes in enumerate(reads):
+        assert batch[i] == al._candidates(codes), i
