@@ -75,6 +75,36 @@ def run_seed(ref_bin, seed):
             return f"binary getsv failed: {r.stderr[-200:]}"
         if open(f"{d}/ours.sv").read() != open(f"{d}/ref.sv").read():
             return "getsv mismatch"
+        # somatic differential vs a second (germline-only) sample
+        if rng.random() < 0.5 and dels:
+            germ = build_donor(ref, deletions=dels[:1])
+            simulate_reads(germ, ["chr17"], [G], f"{d}/n.bam",
+                           coverage=cov, seed=seed + 7, error_rate=err)
+            build_index(f"{d}/n.bam")
+            getclip(f"{d}/n.bam", f"{d}/n")
+            from seeksv_tpu.pipeline.somatic import somatic
+            somatic(f"{d}/n.bam", f"{d}/n.clip.gz", f"{d}/ours.sv",
+                    f"{d}/ours.somatic.sv")
+            r = subprocess.run(
+                [ref_bin, "somatic", f"{d}/n.bam", f"{d}/n.clip.gz",
+                 f"{d}/ours.sv", f"{d}/ref.somatic.sv"],
+                capture_output=True, text=True)
+            if r.returncode != 0:
+                return f"binary somatic failed: {r.stderr[-200:]}"
+            if (open(f"{d}/ours.somatic.sv").read()
+                    != open(f"{d}/ref.somatic.sv").read()):
+                return "somatic mismatch"
+        # getclip threshold flag differential
+        if rng.random() < 0.3:
+            t = float(rng.choice([0.7, 0.9, 0.95]))
+            getclip(f"{d}/sim.bam", f"{d}/st", threshold=t)
+            subprocess.run([ref_bin, "getclip", "-t", str(t), "-o",
+                            f"{d}/rt", f"{d}/sim.bam"],
+                           check=True, capture_output=True)
+            a = gzip.open(f"{d}/st.clip.gz", "rb").read()
+            b = gzip.open(f"{d}/rt.clip.gz", "rb").read()
+            if a != b:
+                return f"getclip -t {t} mismatch"
     return None
 
 

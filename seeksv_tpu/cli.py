@@ -103,6 +103,8 @@ def main(argv=None) -> int:
     pr.add_argument("--normal", default=None,
                     help="normal-sample BAM: also run somatic subtraction")
     pr.add_argument("--rescue", action="store_true")
+    pr.add_argument("--profile", default=None, dest="profile_dir",
+                    help="write a JAX profiler trace to this directory")
     pr.add_argument("ref_fa")
     pr.add_argument("bam")
     pi = sub.add_parser("index", help="build a .bai index (samtools-index role)")
@@ -183,6 +185,7 @@ def main(argv=None) -> int:
         from .pipeline.driver import run_pipeline
         run_pipeline(args.ref_fa, args.bam, args.prefix,
                      normal_bam=args.normal, rescue=args.rescue,
+                     profile_dir=args.profile_dir,
                      log=lambda *a: print(*a, file=sys.stderr))
     elif args.cmd == "index":
         from .io.bai import build_index

@@ -64,10 +64,24 @@ def realign_clips(ref_fa: str, clip_fq: str, out_sam: str,
 
 def run_pipeline(ref_fa: str, bam: str, prefix: str, *,
                  normal_bam: Optional[str] = None, rescue: bool = False,
-                 filtered_out=None, log=lambda *a: None) -> None:
+                 filtered_out=None, profile_dir: Optional[str] = None,
+                 log=lambda *a: None) -> None:
+    """profile_dir: when set, wraps the run in a JAX profiler trace
+    (viewable in TensorBoard/XProf) and logs per-stage reads/s counters —
+    the observability surface the reference lacks (SURVEY.md §5)."""
+    prof = None
+    if profile_dir:
+        try:
+            import jax
+            jax.profiler.start_trace(profile_dir)
+            prof = jax
+        except Exception:
+            prof = None
     t0 = time.time()
     recs = read_bam(bam)
-    log(f"[{time.time()-t0:.2f}s] decoded {recs.n} records")
+    dt = time.time() - t0
+    log(f"[{dt:.2f}s] decoded {recs.n} records "
+        f"({recs.n / max(dt, 1e-9):,.0f} rec/s)")
     getclip(bam, prefix, recs=recs)
     log(f"[{time.time()-t0:.2f}s] getclip done")
     aligner = realign_clips(ref_fa, f"{prefix}.clip.fq.gz",
@@ -77,6 +91,11 @@ def run_pipeline(ref_fa: str, bam: str, prefix: str, *,
           f"{prefix}.unmapped.clip.fq", recs=recs, rescue=rescue,
           filtered_out=filtered_out or io.StringIO(), log=log)
     log(f"[{time.time()-t0:.2f}s] getsv done -> {prefix}.sv")
+    if prof is not None:
+        try:
+            prof.profiler.stop_trace()
+        except Exception:
+            pass
     if normal_bam:
         nrecs = read_bam(normal_bam)
         nprefix = f"{prefix}.normal"
