@@ -100,3 +100,73 @@ def test_revcomp_batch():
         fwd = seq[i, :lens[i]]
         rc = np.where(fwd[::-1] < 4, 3 - fwd[::-1], fwd[::-1])
         assert (out[i, :lens[i]] == rc).all()
+
+
+def test_discordant_count_batch_matches_host(example_dir):
+    """Device discordant counting == host DiscordantCounter on every
+    junction of the example cancer run (plus synthetic INV/CTX cases)."""
+    import io
+    from seeksv_tpu.io.bam import read_bam_python
+    from seeksv_tpu.ops.jax_kernels import discordant_count_batch
+    from seeksv_tpu.pipeline.getsv import (DiscordantCounter, JunctionMap,
+                                           calculate_insert_size,
+                                           input_soft_info, merge_junction)
+    import pathlib
+    golden = pathlib.Path(__file__).parent / "golden"
+    recs = read_bam_python(str(example_dir / "cancer.sort.bam"))
+    jmap = JunctionMap()
+    input_soft_info(str(golden / "cancer.clip.gz"),
+                    str(golden / "cancer.clip.sam"), jmap, [])
+    merge_junction(jmap, 50)
+    mean, dev = calculate_insert_size(recs, 20, 5_000_000)
+    dc = DiscordantCounter(recs, 20, mean, dev, 4)
+    # synthetic extra junctions to exercise all 3 strand cases + tandem
+    junctions = [j for j, _ in jmap.items] + [
+        ("chr17", 700, "-", "chr17", 495, "+"),
+        ("chr17", 700, "+", "chr17", 900, "-"),
+        ("chr17", 900, "+", "chr17", 700, "+"),   # up > down: tandem loop
+        ("chr17", 500, "+", "chrM", 500, "+"),    # cross-chrom
+    ]
+    host = [dc.count(j) for j in junctions]
+    # device inputs
+    name2tid = {n: i for i, n in enumerate(recs.ref_names)}
+    lo, hi, beg_, up_, dn_, dtid, stid, code = [], [], [], [], [], [], [], []
+    K = 5
+    for (uc, up, us, dc_, dn, ds) in junctions:
+        tid = name2tid[uc]
+        tlo, thi = dc.tid_ranges.get(tid, (0, 0))
+        if us == "+":
+            end_w = up
+            beg_w = end_w - dc.max_insert
+        else:
+            beg_w = up - 1 - K
+            end_w = up - 1 + dc.max_insert
+        if beg_w <= 0:
+            beg_w = 1
+        end_w = min(end_w, recs.ref_lens[tid])
+        sub = recs.pos[tlo:thi]
+        l = tlo + int(np.searchsorted(sub, beg_w - 1000))
+        h = tlo + int(np.searchsorted(sub, end_w, "left")) if end_w > beg_w \
+            else l
+        lo.append(l)
+        hi.append(h)
+        beg_.append(beg_w)
+        up_.append(up)
+        dn_.append(dn)
+        dtid.append(name2tid.get(dc_, -1))
+        stid.append(tid == name2tid.get(dc_, -1))
+        code.append(0 if (us, ds) == ("+", "+") else
+                    1 if (us, ds) == ("-", "+") else 2)
+    import jax.numpy as jnp
+    end_arr = dc.end
+    flag = recs.flag
+    got = discordant_count_batch(
+        jnp.asarray(recs.pos), jnp.asarray(end_arr),
+        jnp.asarray(recs.l_qseq), jnp.asarray(recs.mpos),
+        jnp.asarray(recs.mtid), jnp.asarray((flag & 0x10) == 0),
+        jnp.asarray((flag & 0x20) == 0), jnp.asarray(dc.base_ok),
+        jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(beg_),
+        jnp.asarray(up_), jnp.asarray(dn_), jnp.asarray(dtid),
+        jnp.asarray(stid), jnp.asarray(code),
+        jnp.full(len(lo), dc.min_insert), jnp.full(len(lo), dc.max_insert))
+    assert [int(x) for x in got] == host, (list(got), host)
