@@ -62,7 +62,7 @@ def main():
         run_pipeline(d)
     best = None
     n = 0
-    for _ in range(5):
+    for _ in range(7):
         with tempfile.TemporaryDirectory() as d:
             n, dt = run_pipeline(d)
             best = dt if best is None else min(best, dt)
