@@ -50,6 +50,13 @@ def _add_getsv(sub):
     p.add_argument("-m", type=int, default=30, dest="min_seq_len")
     p.add_argument("-i", type=int, default=1, dest="max_seq_indel_no")
     p.add_argument("-L", type=int, default=200, dest="flank_length")
+    p.add_argument("-r", action="store_true", dest="no_rescue_mode",
+                   help="turn off rescue mode: reject SVs with clip "
+                        "support on only one side (v1.2.0 flag)")
+    p.add_argument("-a", type=int, default=5, dest="min_one_side_clip",
+                   help="rescue mode: min clip reads on the populated side "
+                        "of a one-sided SV [5] (v1.2.0 default; v1.2.3 "
+                        "behavior = 0)")
     p.add_argument("--rescue", action="store_true",
                    help="emit unmapped clipped sequences to the rescue "
                         "fastq for iterative (virus-integration) calling; "
@@ -163,7 +170,8 @@ def main(argv=None) -> int:
               flank_length=args.flank_length, output_depth=not args.no_depth,
               temp_breakpoint=args.temp_breakpoint,
               connect_bam=args.connect_bam, connect_min_mapq=args.min_mapq2,
-              rescue=args.rescue,
+              rescue=args.rescue, rescue_mode=not args.no_rescue_mode,
+              min_one_side_clip=args.min_one_side_clip,
               log=lambda *a: print(*a, file=sys.stderr))
     elif args.cmd == "somatic":
         if args.offset >= 90 or args.offset < 0:

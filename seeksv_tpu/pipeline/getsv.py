@@ -646,7 +646,9 @@ def output_breakpoints(jmap: JunctionMap, depth: Optional[DepthQuery],
                        flank_length: int, sum_min_both: int,
                        min_abnormal: int, frequency: float, min_distance: int,
                        max_microhomology: int, min_seq_len: int,
-                       max_seq_indel_no: int, out, filtered_out) -> None:
+                       max_seq_indel_no: int, out, filtered_out,
+                       rescue_mode: bool = True,
+                       min_one_side_clip: int = 5) -> None:
     """Filter cascade (ref OutputBreakpoint, getsv.cpp:838-987) + the
     flank-range depth computation of GetBreak (getsv.cpp:752-789)."""
     for j, o in jmap.items:
@@ -665,6 +667,19 @@ def output_breakpoints(jmap: JunctionMap, depth: Optional[DepthQuery],
             filtered_out.write(_format_filtered(
                 "mappingQ_too_low", j, o, updepth, downdepth, r1, r2) + "\n")
             continue
+        # v1.2.0 oracle rescue-mode gate (its usage text; option removed in
+        # v1.2.2/3): a junction with clip support on only ONE side is kept
+        # only when rescue mode is on AND that side has >= -a [5] reads
+        # (verified by probing the binary with -a/-r on single-sided and
+        # both-sided junctions; both-sided rows are never affected).
+        # v1.2.3 semantics = min_one_side_clip 0 with rescue_mode on.
+        if o.up.support == 0 or o.down.support == 0:
+            one_side = max(o.up.support, o.down.support)
+            if not rescue_mode or one_side < min_one_side_clip:
+                filtered_out.write(_format_filtered(
+                    "one_side_clip_read_NO_not_pass", j, o, updepth,
+                    downdepth, r1, r2) + "\n")
+                continue
         if j[0] == j[3] and abs(j[1] - j[4]) < min_distance:
             filtered_out.write(_format_filtered(
                 "distance_too_near", j, o, updepth, downdepth, r1, r2) + "\n")
@@ -744,7 +759,8 @@ def getsv(clip_sam: str, original_bam: str, clipfile: str, sv_out: str,
           temp_breakpoint: Optional[str] = None,
           connect_bam: Optional[str] = None, connect_min_mapq: int = 1,
           filtered_out=None, recs: Optional[BamRecords] = None,
-          rescue: bool = False, log=lambda *a: None) -> None:
+          rescue: bool = False, rescue_mode: bool = True,
+          min_one_side_clip: int = 5, log=lambda *a: None) -> None:
     """Full getsv pass (ref CallGetsv, seeksv.cpp:157-364)."""
     if filtered_out is None:
         filtered_out = sys.stdout
@@ -794,7 +810,8 @@ def getsv(clip_sam: str, original_bam: str, clipfile: str, sv_out: str,
         output_breakpoints(jmap, depth, flank_length, sum_min_both_clip,
                            min_abnormal, frequency, min_distance,
                            max_microhomology, min_seq_len, max_seq_indel_no,
-                           fout, filtered_out)
+                           fout, filtered_out, rescue_mode,
+                           min_one_side_clip)
 
     # rescue fastq (empty under reference semantics; ref getsv.cpp:1252-1288)
     with open(rescue_fq_out, "w") as fq:

@@ -207,3 +207,24 @@ def test_flag_matrix_vs_binary(tmp_path, ref_bin, example_dir,
     getsv(clip_sam, bam, clip_gz, our_sv, str(tmp_path / "our.fq"),
           filtered_out=io.StringIO(), **kw)
     assert open(our_sv).read() == open(ref_sv).read(), flags
+
+
+def test_rescue_mode_gate_vs_binary(tmp_path, ref_bin):
+    """v1.2.0's rescue-mode gate (usage-only feature, removed in v1.2.3):
+    one-sided junctions need >= -a [5] clips on the populated side, and -r
+    rejects them entirely.  Regression for fuzz seed 7012, where a
+    one-sided DEL junction with 4 supporting clips must be suppressed."""
+    d = _prep(tmp_path, 7012 % (1 << 31), dict(deletions=[(20_000, 21_500)]),
+              G=80_000, coverage=12)  # low coverage favors one-sided calls
+    for extra, kw in (((), {}),
+                      (("-a", "2"), dict(min_one_side_clip=2)),
+                      (("-a", "30"), dict(min_one_side_clip=30)),
+                      (("-r",), dict(rescue_mode=False))):
+        r = subprocess.run(
+            [ref_bin, "getsv", *extra, f"{d}/s.clip.sam", f"{d}/sim.bam",
+             f"{d}/s.clip.gz", f"{d}/ref.sv", f"{d}/r.fq"],
+            capture_output=True, text=True)
+        assert r.returncode == 0
+        getsv(f"{d}/s.clip.sam", f"{d}/sim.bam", f"{d}/s.clip.gz",
+              f"{d}/ours.sv", f"{d}/o.fq", filtered_out=io.StringIO(), **kw)
+        assert open(f"{d}/ours.sv").read() == open(f"{d}/ref.sv").read(), extra
