@@ -57,6 +57,10 @@ def _add_getsv(sub):
                    help="rescue mode: min clip reads on the populated side "
                         "of a one-sided SV [5] (v1.2.0 default; v1.2.3 "
                         "behavior = 0)")
+    p.add_argument("-R", type=int, default=500, dest="max_repeat_depth",
+                   help="drop breakpoints whose breakend depth reaches "
+                        "this repetitive-coverage threshold [500] "
+                        "(v1.2.0 flag; v1.2.3 removed the filter)")
     p.add_argument("--rescue", action="store_true",
                    help="emit unmapped clipped sequences to the rescue "
                         "fastq for iterative (virus-integration) calling; "
@@ -172,6 +176,7 @@ def main(argv=None) -> int:
               connect_bam=args.connect_bam, connect_min_mapq=args.min_mapq2,
               rescue=args.rescue, rescue_mode=not args.no_rescue_mode,
               min_one_side_clip=args.min_one_side_clip,
+              max_repeat_depth=args.max_repeat_depth,
               log=lambda *a: print(*a, file=sys.stderr))
     elif args.cmd == "somatic":
         if args.offset >= 90 or args.offset < 0:

@@ -648,7 +648,8 @@ def output_breakpoints(jmap: JunctionMap, depth: Optional[DepthQuery],
                        max_microhomology: int, min_seq_len: int,
                        max_seq_indel_no: int, out, filtered_out,
                        rescue_mode: bool = True,
-                       min_one_side_clip: int = 5) -> None:
+                       min_one_side_clip: int = 5,
+                       max_repeat_depth: int = 500) -> None:
     """Filter cascade (ref OutputBreakpoint, getsv.cpp:838-987) + the
     flank-range depth computation of GetBreak (getsv.cpp:752-789)."""
     for j, o in jmap.items:
@@ -680,6 +681,14 @@ def output_breakpoints(jmap: JunctionMap, depth: Optional[DepthQuery],
                     "one_side_clip_read_NO_not_pass", j, o, updepth,
                     downdepth, r1, r2) + "\n")
                 continue
+        # v1.2.0 oracle -R gate (removed in v1.2.2): breakends whose
+        # output depth reaches the repetitive-coverage threshold [500] are
+        # dropped (either side; verified by probing the binary with -R
+        # values bracketing the example depths)
+        if updepth >= max_repeat_depth or downdepth >= max_repeat_depth:
+            filtered_out.write(_format_filtered(
+                "depth_repetitive", j, o, updepth, downdepth, r1, r2) + "\n")
+            continue
         if j[0] == j[3] and abs(j[1] - j[4]) < min_distance:
             filtered_out.write(_format_filtered(
                 "distance_too_near", j, o, updepth, downdepth, r1, r2) + "\n")
@@ -760,7 +769,8 @@ def getsv(clip_sam: str, original_bam: str, clipfile: str, sv_out: str,
           connect_bam: Optional[str] = None, connect_min_mapq: int = 1,
           filtered_out=None, recs: Optional[BamRecords] = None,
           rescue: bool = False, rescue_mode: bool = True,
-          min_one_side_clip: int = 5, log=lambda *a: None) -> None:
+          min_one_side_clip: int = 5, max_repeat_depth: int = 500,
+          log=lambda *a: None) -> None:
     """Full getsv pass (ref CallGetsv, seeksv.cpp:157-364)."""
     if filtered_out is None:
         filtered_out = sys.stdout
@@ -811,7 +821,7 @@ def getsv(clip_sam: str, original_bam: str, clipfile: str, sv_out: str,
                            min_abnormal, frequency, min_distance,
                            max_microhomology, min_seq_len, max_seq_indel_no,
                            fout, filtered_out, rescue_mode,
-                           min_one_side_clip)
+                           min_one_side_clip, max_repeat_depth)
 
     # rescue fastq (empty under reference semantics; ref getsv.cpp:1252-1288)
     with open(rescue_fq_out, "w") as fq:

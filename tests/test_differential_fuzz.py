@@ -228,3 +228,24 @@ def test_rescue_mode_gate_vs_binary(tmp_path, ref_bin):
         getsv(f"{d}/s.clip.sam", f"{d}/sim.bam", f"{d}/s.clip.gz",
               f"{d}/ours.sv", f"{d}/o.fq", filtered_out=io.StringIO(), **kw)
         assert open(f"{d}/ours.sv").read() == open(f"{d}/ref.sv").read(), extra
+
+
+@pytest.mark.parametrize("rval", [29, 30, 32, 35, 36])
+def test_repeat_depth_gate_vs_binary(tmp_path, ref_bin, example_dir,
+                                     golden_dir, rval):
+    """v1.2.0's -R repetitive-coverage gate (removed in v1.2.2): drop rows
+    when either breakend's output depth reaches the threshold."""
+    bam = str(example_dir / "cancer.sort.bam")
+    r = subprocess.run(
+        [ref_bin, "getsv", "-R", str(rval),
+         str(golden_dir / "cancer.clip.sam"), bam,
+         str(golden_dir / "cancer.clip.gz"),
+         str(tmp_path / "ref.sv"), str(tmp_path / "r.fq")],
+        capture_output=True, text=True)
+    assert r.returncode == 0
+    getsv(str(golden_dir / "cancer.clip.sam"), bam,
+          str(golden_dir / "cancer.clip.gz"), str(tmp_path / "our.sv"),
+          str(tmp_path / "o.fq"), filtered_out=io.StringIO(),
+          max_repeat_depth=rval)
+    assert (tmp_path / "our.sv").read_text() == \
+        (tmp_path / "ref.sv").read_text(), rval
