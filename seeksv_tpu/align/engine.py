@@ -246,6 +246,17 @@ class BatchAligner(Aligner):
 
     # pad buckets keep jit cache small
     _BUCKETS = (32, 64, 128, 256, 512)
+
+    def __init__(self, index: KmerIndex, device_seed: bool = False):
+        super().__init__(index)
+        self.device_seed = device_seed
+        self._seeder = None
+
+    def _device_seeder(self):
+        if self._seeder is None:
+            from ..ops.seed_device import DeviceSeeder
+            self._seeder = DeviceSeeder(self.idx)
+        return self._seeder
     # below this many DP cells the device round-trip + compile cost beats
     # the win; use the host kernels (device path asserted equivalent by
     # tests/test_align.py and the earlier on-TPU comparison run)
@@ -272,7 +283,12 @@ class BatchAligner(Aligner):
             rev = np.where(rev < 4, 3 - rev, 4).astype(np.uint8)
             per_read_codes.append((fwd, rev))
             strand_reads.extend((fwd, rev))
-        cands = batch_candidates(idx, strand_reads)
+        cands = None
+        if self.device_seed:
+            # device front-end (ops.seed_device); None on hit_cap overflow
+            cands = self._device_seeder().seed(strand_reads)
+        if cands is None:
+            cands = batch_candidates(idx, strand_reads)
         for job_i, cand_list in cands.items():
             ri, strand = divmod(job_i, 2)
             for diag, q_start, anchor_len, _v in cand_list:

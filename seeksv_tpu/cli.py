@@ -111,6 +111,8 @@ def main(argv=None) -> int:
     pr = sub.add_parser(
         "run", help="one-shot pipeline: getclip + aln + getsv [+ somatic]")
     pr.add_argument("-o", default="output", dest="prefix")
+    pr.add_argument("--device-seed", action="store_true",
+                    help="run seeding on-device against the HBM kmer table")
     pr.add_argument("--normal", default=None,
                     help="normal-sample BAM: also run somatic subtraction")
     pr.add_argument("--rescue", action="store_true")
@@ -199,6 +201,7 @@ def main(argv=None) -> int:
         run_pipeline(args.ref_fa, args.bam, args.prefix,
                      normal_bam=args.normal, rescue=args.rescue,
                      profile_dir=args.profile_dir,
+                     device_seed=args.device_seed,
                      log=lambda *a: print(*a, file=sys.stderr))
     elif args.cmd == "index":
         from .io.bai import build_index
