@@ -16,7 +16,7 @@ from seeksv_tpu.utils.simulate import (build_donor, random_genome,
 
 
 def _run_pipeline(tmp_path, ref, donor, ref_names, ref_lens, seed=1,
-                  coverage=35):
+                  coverage=35, **getsv_kw):
     d = str(tmp_path)
     n = simulate_reads(donor, ref_names, ref_lens, f"{d}/sim.bam",
                        coverage=coverage, seed=seed)
@@ -37,7 +37,8 @@ def _run_pipeline(tmp_path, ref, donor, ref_names, ref_lens, seed=1,
     from seeksv_tpu.pipeline.driver import write_sam
     write_sam(al, seqs, quals, alns, f"{d}/s.clip.sam")
     getsv(f"{d}/s.clip.sam", f"{d}/sim.bam", f"{d}/s.clip.gz",
-          f"{d}/s.sv", f"{d}/s.fq", recs=recs, filtered_out=io.StringIO())
+          f"{d}/s.sv", f"{d}/s.fq", recs=recs, filtered_out=io.StringIO(),
+          **getsv_kw)
     calls = []
     for line in open(f"{d}/s.sv"):
         if line.startswith("@"):
@@ -85,3 +86,30 @@ def test_virus_integration_hybrid_reference(tmp_path):
     assert any(abs(p - 20_000) <= 1 for p in host_sides), ctx
     virus_sides = [c[2] if c[1] == "virusX" else c[5] for c in ctx]
     assert any(1000 <= p <= 1801 for p in virus_sides), ctx
+
+
+def test_simulated_novel_insertion_recall(tmp_path):
+    """Novel-sequence insertions are recalled at exact truth coordinates
+    as adjacent-breakend rows.  Reference-faithful caveats (both verified
+    against the reference semantics):
+      * the insert must be shorter than the soft clips, so the clip keeps
+        a mappable flank past the novel sequence — longer novel inserts
+        realign nowhere and produce no junction (500bp inserts yield zero
+        calls; a 40bp insert with 62-69bp clips leaves a <30bp flank,
+        under the bwa T=30 score floor -> unmapped: the physical limit of
+        clip-realignment calling);
+      * adjacent breakends (up_pos + 1 == down_pos) print as svtype
+        "DEL" per clip_reads.cpp:572-581 (the "INS" label is reserved for
+        up_pos > down_pos overlaps), and the default -l 50 min-distance
+        filter drops them, so insertion calling requires -l 1."""
+    rng = np.random.default_rng(7)
+    G = 60_000
+    ref = {"chrS": random_genome(rng, G)}
+    ins = [(30_000, random_genome(rng, 30)),
+           (45_000, random_genome(rng, 25))]
+    donor = build_donor(ref, insertions=ins)
+    calls, _ = _run_pipeline(tmp_path, ref, donor, ["chrS"], [G],
+                             min_distance=1)
+    have = {(c[0], c[2], c[5]) for c in calls}
+    for p, _seq in ins:
+        assert ("DEL", p, p + 1) in have, (p, sorted(have))
