@@ -247,16 +247,25 @@ class BatchAligner(Aligner):
     # pad buckets keep jit cache small
     _BUCKETS = (32, 64, 128, 256, 512)
 
-    def __init__(self, index: KmerIndex, device_seed: bool = False):
+    def __init__(self, index: KmerIndex, device_seed: bool = False,
+                 device_align: bool = False):
         super().__init__(index)
         self.device_seed = device_seed
+        self.device_align = device_align
         self._seeder = None
+        self._device_al = None
 
     def _device_seeder(self):
         if self._seeder is None:
             from ..ops.seed_device import DeviceSeeder
             self._seeder = DeviceSeeder(self.idx)
         return self._seeder
+
+    def _device_aligner(self):
+        if self._device_al is None:
+            from ..ops.align_device import DeviceAligner
+            self._device_al = DeviceAligner(self.idx)
+        return self._device_al
     # below this many DP cells the device round-trip + compile cost beats
     # the win; use the host kernels (device path asserted equivalent by
     # tests/test_align.py and the earlier on-TPU comparison run)
@@ -283,6 +292,21 @@ class BatchAligner(Aligner):
             rev = np.where(rev < 4, 3 - rev, 4).astype(np.uint8)
             per_read_codes.append((fwd, rev))
             strand_reads.extend((fwd, rev))
+        if self.device_align:
+            # fully device-resident front-end (ops.align_device): seed +
+            # window gather + both extension rounds in two jit calls; the
+            # host only ranks/tracebacks.  None on hit_cap overflow.
+            dres = self._device_aligner().align_jobs(strand_reads)
+            if dres is not None:
+                results_by_read = {i: [] for i in range(len(seqs))}
+                for job_i, lst in dres.items():
+                    ri, strand = divmod(job_i, 2)
+                    for final, tid, qb, qe, rb, rend in lst:
+                        results_by_read[ri].append(
+                            (strand, final, final, tid, qb, qe, rb, rend))
+                return [self._finalize(per_read_codes[ri], len(seq),
+                                       results_by_read[ri])
+                        for ri, seq in enumerate(seqs)]
         cands = None
         if self.device_seed:
             # device front-end (ops.seed_device); None on hit_cap overflow

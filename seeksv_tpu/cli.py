@@ -113,6 +113,9 @@ def main(argv=None) -> int:
     pr.add_argument("-o", default="output", dest="prefix")
     pr.add_argument("--device-seed", action="store_true",
                     help="run seeding on-device against the HBM kmer table")
+    pr.add_argument("--device-align", action="store_true",
+                    help="full device front-end: seed + window gather + "
+                         "extension on device (ops.align_device)")
     pr.add_argument("--normal", default=None,
                     help="normal-sample BAM: also run somatic subtraction")
     pr.add_argument("--rescue", action="store_true")
@@ -202,6 +205,7 @@ def main(argv=None) -> int:
                      normal_bam=args.normal, rescue=args.rescue,
                      profile_dir=args.profile_dir,
                      device_seed=args.device_seed,
+                     device_align=args.device_align,
                      log=lambda *a: print(*a, file=sys.stderr))
     elif args.cmd == "index":
         from .io.bai import build_index

@@ -37,10 +37,10 @@ TOP_CANDIDATES = 8
 OFF_BITS = 11            # read offsets < 2048
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "hit_cap", "n_jobs", "nk"))
-def _seed_kernel(keys, positions, mat, lens, ref_span,
-                 k: int, hit_cap: int, n_jobs: int, nk: int):
+def _seed_core(keys, positions, mat, lens, ref_span,
+               k: int, hit_cap: int, n_jobs: int, nk: int):
+    """Seeding kernel body: also traced inline by the fused front-end
+    (ops.align_device._seed_and_gather)."""
     N = n_jobs
     # ---- rolling hashes over all reads ----
     m64 = mat.astype(jnp.int64)
@@ -132,6 +132,31 @@ def _seed_kernel(keys, positions, mat, lens, ref_span,
     return out_diag, out_qs, out_alen, out_votes, n_cand, overflow
 
 
+_seed_kernel = functools.partial(
+    jax.jit, static_argnames=("k", "hit_cap", "n_jobs", "nk"))(_seed_core)
+
+
+def pad_reads(reads, k: int):
+    """Pad a list of encoded uint8 code arrays into a [NP, LP] matrix of
+    codes (fill 4 = ambiguous) plus int64 lengths; both batch dims padded
+    to 64-multiples to bound the jit cache.  Returns (mat, lens, NP, LP)
+    or None when the batch has no read of at least k bases (no kmers)."""
+    n = len(reads)
+    lens = np.asarray([len(r) for r in reads], np.int64)
+    L = int(lens.max(initial=0))
+    if n == 0 or L < k:
+        return None
+    NP = -(-n // 64) * 64
+    LP = min(-(-L // 64) * 64, 1 << OFF_BITS)
+    if L > LP:
+        raise ValueError(f"read length {L} exceeds device seeder cap {LP}")
+    mat = np.full((NP, LP), 4, np.uint8)
+    for i, r in enumerate(reads):
+        mat[i, :len(r)] = r
+    lens = np.concatenate([lens, np.zeros(NP - n, np.int64)])
+    return mat, lens, NP, LP
+
+
 class DeviceSeeder:
     """Holds the k-mer table as device arrays (HBM-resident on TPU) and
     runs the seeding kernel over padded read batches."""
@@ -153,23 +178,10 @@ class DeviceSeeder:
         align.seed_batch.batch_candidates, or None on hit_cap overflow
         (caller falls back to the host path)."""
         n = len(reads)
-        if n == 0:
-            return {}
-        lens = np.asarray([len(r) for r in reads], np.int64)
-        L = int(lens.max(initial=0))
-        if L < self.k:
+        padded = pad_reads(reads, self.k)
+        if padded is None:
             return {i: [] for i in range(n)}
-        # pad both batch dims to 64-multiples: bounds the jit cache
-        # (padding rows have len 0 -> no valid kmers -> no candidates)
-        NP = -(-n // 64) * 64
-        LP = min(-(-L // 64) * 64, 1 << OFF_BITS)
-        if L > LP:
-            raise ValueError(f"read length {L} exceeds device seeder "
-                             f"cap {LP}")
-        mat = np.full((NP, LP), 4, np.uint8)
-        for i, r in enumerate(reads):
-            mat[i, :len(r)] = r
-        lens = np.concatenate([lens, np.zeros(NP - n, np.int64)])
+        mat, lens, NP, LP = padded
         with jax.enable_x64(True):
             d, qs, al, vo, nc, ovf = _seed_kernel(
                 self.keys, self.positions, jnp.asarray(mat),

@@ -54,11 +54,14 @@ def write_sam(aligner, seqs, quals, alns, path) -> None:
 
 def realign_clips(ref_fa: str, clip_fq: str, out_sam: str,
                   aligner: Optional[BatchAligner] = None,
-                  device_seed: bool = False) -> BatchAligner:
+                  device_seed: bool = False,
+                  device_align: bool = False) -> BatchAligner:
     if aligner is None:
         aligner = BatchAligner.from_fasta(ref_fa)
     if device_seed:
         aligner.device_seed = True
+    if device_align:
+        aligner.device_align = True
     seqs, quals = _read_fastq(clip_fq)
     alns = aligner.batch_align(seqs)
     write_sam(aligner, seqs, quals, alns, out_sam)
@@ -68,7 +71,7 @@ def realign_clips(ref_fa: str, clip_fq: str, out_sam: str,
 def run_pipeline(ref_fa: str, bam: str, prefix: str, *,
                  normal_bam: Optional[str] = None, rescue: bool = False,
                  filtered_out=None, profile_dir: Optional[str] = None,
-                 device_seed: bool = False,
+                 device_seed: bool = False, device_align: bool = False,
                  log=lambda *a: None) -> None:
     """profile_dir: when set, wraps the run in a JAX profiler trace
     (viewable in TensorBoard/XProf) and logs per-stage reads/s counters —
@@ -89,7 +92,8 @@ def run_pipeline(ref_fa: str, bam: str, prefix: str, *,
     getclip(bam, prefix, recs=recs)
     log(f"[{time.time()-t0:.2f}s] getclip done")
     aligner = realign_clips(ref_fa, f"{prefix}.clip.fq.gz",
-                            f"{prefix}.clip.sam", device_seed=device_seed)
+                            f"{prefix}.clip.sam", device_seed=device_seed,
+                            device_align=device_align)
     log(f"[{time.time()-t0:.2f}s] realignment done")
     getsv(f"{prefix}.clip.sam", bam, f"{prefix}.clip.gz", f"{prefix}.sv",
           f"{prefix}.unmapped.clip.fq", recs=recs, rescue=rescue,
