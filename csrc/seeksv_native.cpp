@@ -381,3 +381,211 @@ void seeksv_coverage_diff(const int64_t* starts, const int64_t* ends,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Smith-Waterman kernels (host fast path of seeksv_tpu/align).
+//
+// seeksv_sw_extend_batch reproduces seeksv_tpu/align/sw.py:extend_batch_np
+// exactly (the batched ksw_extend-style anchored extension used by the
+// realignment engine, ref role: bwa mem_chain2aln); the device (XLA/Pallas)
+// kernels share these semantics, asserted by tests/test_native.py.
+//
+// Scoring constants mirror sw.py (bwa-mem 0.7.x defaults).
+
+namespace {
+constexpr int32_t kMatch = 1;
+constexpr int32_t kMismatch = 4;
+constexpr int32_t kGapOpen = 6;
+constexpr int32_t kGapExt = 1;
+constexpr int32_t kAmbig = -1;
+constexpr int32_t kNegInf = -0x40000000;
+
+inline int32_t sub_score(int32_t a, int32_t b) {
+  if (a > 3 || b > 3) return kAmbig;
+  return a == b ? kMatch : -kMismatch;
+}
+
+void sw_extend_one(const int32_t* q, int32_t qlen, const int32_t* t,
+                   int32_t tlen, int32_t h0, int32_t zdrop, int32_t* out5,
+                   int32_t* h, int32_t* e) {
+  // out5: max_score, qle, tle, gscore, gtle
+  int32_t best = h0, qle = 0, tle = 0, gscore = kNegInf, gtle = 0;
+  // row init (h[j] = h0 - open - j*ext while >= 0)
+  h[0] = h0;
+  for (int32_t j = 1; j <= qlen; j++) {
+    int32_t v = h0 - kGapOpen - j * kGapExt;
+    h[j] = v >= 0 ? v : kNegInf;
+  }
+  for (int32_t j = 0; j <= qlen; j++) e[j] = kNegInf;
+  for (int32_t i = 1; i <= tlen; i++) {
+    const int32_t tb = t[i - 1];
+    const int32_t h0_col = h0 - kGapOpen - i * kGapExt;
+    int32_t hdiag = h[0];
+    int32_t m = kNegInf;  // running max_{k<j} (g_k + k*ext)
+    int32_t row_best = kNegInf, row_amax = 0;
+    for (int32_t j = 1; j <= qlen; j++) {
+      const int32_t diag = hdiag + sub_score(q[j - 1], tb);
+      const int32_t ecand =
+          (h[j] - kGapOpen > e[j] ? h[j] - kGapOpen : e[j]) - kGapExt;
+      const int32_t g = diag > ecand ? diag : ecand;
+      const int32_t f = m - kGapOpen - j * kGapExt;
+      const int32_t nh = g > f ? g : f;
+      hdiag = h[j];
+      h[j] = nh;
+      e[j] = ecand;
+      const int32_t u = g + j * kGapExt;
+      if (u > m) m = u;
+      if (nh > row_best) {
+        row_best = nh;
+        row_amax = j;
+      }
+    }
+    h[0] = h0_col;
+    const int32_t h_at_qlen = qlen == 0 ? h0_col : h[qlen];
+    if (row_best > best) {
+      best = row_best;
+      qle = row_amax;
+      tle = i;
+    }
+    if (h_at_qlen > gscore) {
+      gscore = h_at_qlen;
+      gtle = i;
+    }
+    if (row_best < best - zdrop) break;
+  }
+  out5[0] = best;
+  out5[1] = qle;
+  out5[2] = tle;
+  out5[3] = gscore;
+  out5[4] = gtle;
+}
+}  // namespace
+
+extern "C" {
+
+// Batched anchored extension. q: [B, LQ] row-major, t: [B, LT]; out: [B, 5].
+void seeksv_sw_extend_batch(const int32_t* q, const int32_t* qlen,
+                            const int32_t* t, const int32_t* tlen,
+                            const int32_t* h0, int64_t B, int64_t LQ,
+                            int64_t LT, int32_t zdrop, int32_t* out,
+                            int32_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = (int32_t)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if ((int64_t)n_threads > B) n_threads = (int32_t)(B > 0 ? B : 1);
+  auto worker = [&](int64_t b0, int64_t b1) {
+    std::vector<int32_t> h(LQ + 1), e(LQ + 1);
+    for (int64_t b = b0; b < b1; b++) {
+      sw_extend_one(q + b * LQ, qlen[b], t + b * LT, tlen[b], h0[b], zdrop,
+                    out + b * 5, h.data(), e.data());
+    }
+  };
+  if (n_threads == 1) {
+    worker(0, B);
+  } else {
+    std::vector<std::thread> ths;
+    const int64_t chunk = (B + n_threads - 1) / n_threads;
+    for (int32_t ti = 0; ti < n_threads; ti++) {
+      const int64_t b0 = ti * chunk;
+      const int64_t b1 = b0 + chunk < B ? b0 + chunk : B;
+      if (b0 >= b1) break;
+      ths.emplace_back(worker, b0, b1);
+    }
+    for (auto& th : ths) th.join();
+  }
+}
+
+// Global affine alignment with traceback, reproducing
+// seeksv_tpu/align/sw.py:global_align (ksw_global role: CIGAR emission on
+// the chosen extents only).  cig_len/cig_op must have capacity m+n; the
+// return value is the number of runs emitted (cigar already merged and in
+// left-to-right order), and *score_out the terminal score H[m][n].
+// m>0 and n>0 are required (degenerate cases stay in the python wrapper).
+int64_t seeksv_sw_global(const int32_t* query, int64_t m,
+                         const int32_t* target, int64_t n,
+                         int32_t* score_out, int32_t* cig_len,
+                         uint8_t* cig_op) {
+  const int64_t W = n + 1;
+  std::vector<int32_t> H((m + 1) * W), E((m + 1) * W), F((m + 1) * W);
+  H[0] = 0;
+  E[0] = F[0] = kNegInf;
+  for (int64_t j = 1; j <= n; j++) {
+    H[j] = E[j] = (int32_t)(-kGapOpen - j * kGapExt);
+    F[j] = kNegInf;
+  }
+  for (int64_t i = 1; i <= m; i++) {
+    H[i * W] = F[i * W] = (int32_t)(-kGapOpen - i * kGapExt);
+    E[i * W] = kNegInf;
+    const int32_t qi = query[i - 1];
+    int32_t m2 = H[i * W];  // running max for E: max(H[i][0], g_k + k*ext)
+    for (int64_t j = 1; j <= n; j++) {
+      const int32_t f =
+          (H[(i - 1) * W + j] - kGapOpen > F[(i - 1) * W + j]
+               ? H[(i - 1) * W + j] - kGapOpen
+               : F[(i - 1) * W + j]) -
+          kGapExt;
+      F[i * W + j] = f;
+      const int32_t diag = H[(i - 1) * W + j - 1] + sub_score(qi, target[j - 1]);
+      const int32_t g = diag > f ? diag : f;
+      const int32_t ev = (int32_t)(m2 - kGapOpen - j * kGapExt);
+      E[i * W + j] = ev;
+      H[i * W + j] = g > ev ? g : ev;
+      const int32_t u = (int32_t)(g + j * kGapExt);
+      if (u > m2) m2 = u;
+    }
+  }
+  *score_out = H[m * W + n];
+  // traceback (identical preference order to the python reference)
+  int64_t i = m, j = n, nc = 0;
+  auto push = [&](uint8_t op) {
+    if (nc > 0 && cig_op[nc - 1] == op) {
+      cig_len[nc - 1]++;
+    } else {
+      cig_op[nc] = op;
+      cig_len[nc] = 1;
+      nc++;
+    }
+  };
+  while (i > 0 || j > 0) {
+    if (i > 0 && j > 0 &&
+        H[i * W + j] ==
+            H[(i - 1) * W + j - 1] + sub_score(query[i - 1], target[j - 1])) {
+      push('M');
+      i--;
+      j--;
+    } else if (j > 0 && H[i * W + j] == E[i * W + j]) {
+      push('D');
+      while (j > 1 && E[i * W + j] == E[i * W + j - 1] - kGapExt) {
+        push('D');
+        j--;
+      }
+      j--;
+    } else if (i > 0 && H[i * W + j] == F[i * W + j]) {
+      push('I');
+      while (i > 1 && F[i * W + j] == F[(i - 1) * W + j] - kGapExt) {
+        push('I');
+        i--;
+      }
+      i--;
+    } else if (i > 0 && j > 0) {
+      push('M');
+      i--;
+      j--;
+    } else if (j > 0) {
+      push('D');
+      j--;
+    } else {
+      push('I');
+      i--;
+    }
+  }
+  // reverse runs into left-to-right order
+  for (int64_t a = 0, b = nc - 1; a < b; a++, b--) {
+    std::swap(cig_len[a], cig_len[b]);
+    std::swap(cig_op[a], cig_op[b]);
+  }
+  return nc;
+}
+
+}  // extern "C"

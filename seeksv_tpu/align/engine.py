@@ -328,13 +328,22 @@ class BatchAligner(Aligner):
             LQ = self._bucket(max_q)
             LT = self._bucket(max_q + 100)
             if not force_device and n_jobs * LQ * LT * 2 < self.MIN_DEVICE_CELLS:
-                # host path: same batched structure, numpy kernel
-                from .sw import extend_batch_np
+                # host path: same batched structure; native C++ kernel
+                # (csrc) when built, numpy mirror otherwise — both exact
+                # matches of the device kernels (tests/test_native.py)
+                from ..io import native
+                if native.sw_available():
+                    def sw_extend_batch(q, ql, t, tl, h):
+                        return native.sw_extend_batch_native(
+                            np.asarray(q), np.asarray(ql), np.asarray(t),
+                            np.asarray(tl), np.asarray(h))
+                else:
+                    from .sw import extend_batch_np
 
-                def sw_extend_batch(q, ql, t, tl, h):
-                    return extend_batch_np(np.asarray(q), np.asarray(ql),
-                                           np.asarray(t), np.asarray(tl),
-                                           np.asarray(h))
+                    def sw_extend_batch(q, ql, t, tl, h):
+                        return extend_batch_np(np.asarray(q), np.asarray(ql),
+                                               np.asarray(t), np.asarray(tl),
+                                               np.asarray(h))
                 jnp = np
             else:
                 import jax

@@ -169,7 +169,25 @@ def extend_batch_np(q: np.ndarray, qlen: np.ndarray, t: np.ndarray,
 def global_align(query: np.ndarray, target: np.ndarray,
                  w: int = 100) -> Tuple[int, List[Tuple[int, str]]]:
     """Banded affine global alignment with traceback -> (score, cigar).
-    Used only on the chosen extents (ksw_global role in bwa)."""
+    Used only on the chosen extents (ksw_global role in bwa).  Dispatches
+    to the native kernel (csrc) when built; global_align_np is the oracle
+    (equivalence asserted by tests/test_native.py)."""
+    m, n = len(query), len(target)
+    if m == 0 and n == 0:
+        return 0, []
+    if m == 0:
+        return -GAP_OPEN - n * GAP_EXT, [(n, "D")]
+    if n == 0:
+        return -GAP_OPEN - m * GAP_EXT, [(m, "I")]
+    from ..io import native
+    if native.sw_available():
+        return native.sw_global_native(query, target)
+    return global_align_np(query, target, w)
+
+
+def global_align_np(query: np.ndarray, target: np.ndarray,
+                    w: int = 100) -> Tuple[int, List[Tuple[int, str]]]:
+    """Pure-numpy reference implementation of global_align."""
     m, n = len(query), len(target)
     if m == 0 and n == 0:
         return 0, []

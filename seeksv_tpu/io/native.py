@@ -67,6 +67,16 @@ def _load() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_int64),
                     ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+                if hasattr(lib, "seeksv_sw_extend_batch"):
+                    p32 = ctypes.POINTER(ctypes.c_int32)
+                    lib.seeksv_sw_extend_batch.argtypes = [
+                        p32, p32, p32, p32, p32,
+                        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                        ctypes.c_int32, p32, ctypes.c_int32]
+                    lib.seeksv_sw_global.restype = ctypes.c_int64
+                    lib.seeksv_sw_global.argtypes = [
+                        p32, ctypes.c_int64, p32, ctypes.c_int64,
+                        p32, p32, ctypes.POINTER(ctypes.c_uint8)]
                 _LIB = lib
                 break
             except OSError:
@@ -135,6 +145,58 @@ def read_bam_native(path: str, n_threads: int = 0):
         xc=_view(s.xc, n, np.int32),
         owner=owner,
     )
+
+
+def sw_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "seeksv_sw_extend_batch")
+
+
+def sw_extend_batch_native(q: np.ndarray, qlen: np.ndarray, t: np.ndarray,
+                           tlen: np.ndarray, h0: np.ndarray,
+                           zdrop: int = 100, n_threads: int = 0):
+    """Native batched anchored extension; exact extend_batch_np semantics
+    (asserted by tests/test_native.py::test_sw_extend_native_vs_numpy)."""
+    lib = _load()
+    q = np.ascontiguousarray(q, np.int32)
+    t = np.ascontiguousarray(t, np.int32)
+    qlen = np.ascontiguousarray(qlen, np.int32)
+    tlen = np.ascontiguousarray(tlen, np.int32)
+    h0 = np.ascontiguousarray(h0, np.int32)
+    B, LQ = q.shape
+    LT = t.shape[1]
+    out = np.empty((B, 5), np.int32)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    lib.seeksv_sw_extend_batch(
+        q.ctypes.data_as(p32), qlen.ctypes.data_as(p32),
+        t.ctypes.data_as(p32), tlen.ctypes.data_as(p32),
+        h0.ctypes.data_as(p32), B, LQ, LT, zdrop,
+        out.ctypes.data_as(p32), n_threads)
+    return {"max_score": out[:, 0].astype(np.int64),
+            "qle": out[:, 1].astype(np.int64),
+            "tle": out[:, 2].astype(np.int64),
+            "gscore": out[:, 3].astype(np.int64),
+            "gtle": out[:, 4].astype(np.int64)}
+
+
+def sw_global_native(query: np.ndarray, target: np.ndarray):
+    """Native global affine alignment -> (score, [(len, op), ...]); exact
+    sw.global_align semantics incl. traceback preference order."""
+    lib = _load()
+    q = np.ascontiguousarray(query, np.int32)
+    t = np.ascontiguousarray(target, np.int32)
+    m, n = len(q), len(t)
+    cap = m + n + 1
+    cig_len = np.empty(cap, np.int32)
+    cig_op = np.empty(cap, np.uint8)
+    score = ctypes.c_int32(0)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    nc = lib.seeksv_sw_global(
+        q.ctypes.data_as(p32), m, t.ctypes.data_as(p32), n,
+        ctypes.byref(score), cig_len.ctypes.data_as(p32),
+        cig_op.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return int(score.value), [(int(cig_len[i]), chr(cig_op[i]))
+                              for i in range(nc)]
 
 
 def coverage_diff(starts: np.ndarray, ends: np.ndarray,

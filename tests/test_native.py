@@ -37,3 +37,50 @@ def test_coverage_diff_matches_numpy():
     np.add.at(ref, np.clip(starts, 0, 1000), w)
     np.add.at(ref, np.clip(ends, 0, 1000), -w)
     assert (got == ref).all()
+
+
+@pytest.mark.skipif(not native.sw_available(), reason="native lib not built")
+def test_sw_extend_native_vs_numpy():
+    from seeksv_tpu.align.sw import extend_batch_np
+    rng = np.random.default_rng(7)
+    B, LQ, LT = 64, 96, 160
+    q = rng.integers(0, 5, (B, LQ)).astype(np.int32)
+    t = rng.integers(0, 5, (B, LT)).astype(np.int32)
+    # make some targets resemble queries so positive scores occur
+    for b in range(0, B, 2):
+        L = int(rng.integers(10, LQ))
+        t[b, 5:5 + L] = q[b, :L]
+    qlen = rng.integers(0, LQ + 1, B).astype(np.int32)
+    tlen = rng.integers(0, LT + 1, B).astype(np.int32)
+    h0 = rng.integers(0, 120, B).astype(np.int32)
+    ref = extend_batch_np(q, qlen, t, tlen, h0)
+    got = native.sw_extend_batch_native(q, qlen, t, tlen, h0)
+    for k in ("max_score", "qle", "tle", "gscore", "gtle"):
+        assert (got[k] == ref[k]).all(), k
+
+
+@pytest.mark.skipif(not native.sw_available(), reason="native lib not built")
+def test_sw_global_native_vs_numpy():
+    from seeksv_tpu.align.sw import global_align_np
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        m = int(rng.integers(1, 120))
+        q = rng.integers(0, 5, m).astype(np.uint8)
+        # target = mutated copy (indels + substitutions) to exercise runs
+        tl = list(q)
+        for _ in range(int(rng.integers(0, 6))):
+            p = int(rng.integers(0, max(1, len(tl))))
+            r = rng.random()
+            if r < 0.4 and tl:
+                del tl[p]
+            elif r < 0.7:
+                tl.insert(p, int(rng.integers(0, 4)))
+            elif tl:
+                tl[p] = int(rng.integers(0, 4))
+        if not tl:
+            tl = [0]
+        t = np.array(tl, np.uint8)
+        ref_s, ref_c = global_align_np(q, t)
+        got_s, got_c = native.sw_global_native(q, t)
+        assert got_s == ref_s
+        assert got_c == ref_c
