@@ -73,8 +73,26 @@ bool scan_bgzf_blocks(const uint8_t* buf, size_t n, std::vector<Block>* out,
   return off == n;
 }
 
+#ifdef USE_LIBDEFLATE
+#include <libdeflate.h>
+
 bool inflate_block(const uint8_t* src, size_t src_len, uint8_t* dst,
-                   size_t dst_len) {
+                   size_t dst_len, libdeflate_decompressor* d) {
+  if (dst_len == 0) return true;
+  size_t actual = 0;
+  return libdeflate_deflate_decompress(d, src, src_len, dst, dst_len,
+                                       &actual) == LIBDEFLATE_SUCCESS &&
+         actual == dst_len;
+}
+
+struct InflateCtx {
+  libdeflate_decompressor* d;
+  InflateCtx() : d(libdeflate_alloc_decompressor()) {}
+  ~InflateCtx() { libdeflate_free_decompressor(d); }
+};
+#else
+bool inflate_block(const uint8_t* src, size_t src_len, uint8_t* dst,
+                   size_t dst_len, void* /*ctx*/ = nullptr) {
   z_stream zs;
   memset(&zs, 0, sizeof(zs));
   if (inflateInit2(&zs, -15) != Z_OK) return false;
@@ -87,6 +105,11 @@ bool inflate_block(const uint8_t* src, size_t src_len, uint8_t* dst,
   return ret == Z_STREAM_END || (ret == Z_OK && zs.avail_out == 0) ||
          (dst_len == 0 && ret == Z_BUF_ERROR);
 }
+
+struct InflateCtx {
+  void* d = nullptr;
+};
+#endif
 
 const char kNt16[17] = "=ACMGRSVTWYHKDBN";
 
@@ -208,10 +231,11 @@ BamSoA* seeksv_bam_decode(const char* path, int n_threads) {
       size_t lo = t * per, hi = lo + per < nb ? lo + per : nb;
       if (lo >= hi) break;
       ths.emplace_back([&, lo, hi]() {
+        InflateCtx ctx;
         for (size_t i = lo; i < hi; i++) {
           const Block& blk = blocks[i];
           inflate_block(comp.data() + blk.comp_off, blk.comp_len,
-                        data.data() + blk.out_off, blk.out_len);
+                        data.data() + blk.out_off, blk.out_len, ctx.d);
         }
       });
     }
