@@ -50,9 +50,12 @@ def run_seed(ref_bin, seed):
     donor = build_donor(ref, deletions=dels, inversions=invs)
     err = float(rng.choice([0.001, 0.002, 0.005, 0.01]))
     cov = int(rng.integers(15, 45))
+    read_len = int(rng.choice([100, 100, 150, 250]))
+    insert_mean = max(500, 3 * read_len)
     with tempfile.TemporaryDirectory() as d:
         simulate_reads(donor, ["chr17"], [G], f"{d}/sim.bam",
-                       coverage=cov, seed=seed, error_rate=err)
+                       coverage=cov, seed=seed, error_rate=err,
+                       read_len=read_len, insert_mean=insert_mean)
         build_index(f"{d}/sim.bam")
         write_fasta(f"{d}/ref.fa", ref)
         getclip(f"{d}/sim.bam", f"{d}/s")

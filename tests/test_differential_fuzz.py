@@ -46,13 +46,15 @@ def _genome(rng, G, with_repeat=False):
     return g
 
 
-def _prep(tmp_path, seed, events, with_repeat=False, G=100_000, coverage=35):
+def _prep(tmp_path, seed, events, with_repeat=False, G=100_000, coverage=35,
+          read_len=100, insert_mean=500):
     rng = np.random.default_rng(seed)
     ref = {"chr17": _genome(rng, G, with_repeat)}
     donor = build_donor(ref, **events)
     d = str(tmp_path)
     simulate_reads(donor, ["chr17"], [G], f"{d}/sim.bam",
-                   coverage=coverage, seed=seed)
+                   coverage=coverage, seed=seed, read_len=read_len,
+                   insert_mean=insert_mean)
     build_index(f"{d}/sim.bam")
     write_fasta(f"{d}/ref.fa", ref)
     getclip(f"{d}/sim.bam", f"{d}/s")
@@ -83,6 +85,26 @@ def _compare_getsv(ref_bin, d):
 ])
 def test_fuzz_getsv_vs_binary(tmp_path, ref_bin, seed, events, with_repeat):
     d = _prep(tmp_path, seed, events, with_repeat)
+    _compare_getsv(ref_bin, d)
+
+
+@pytest.mark.parametrize("read_len,insert_mean", [(150, 600), (250, 800)])
+def test_fuzz_read_length_profiles_vs_binary(tmp_path, ref_bin, read_len,
+                                             insert_mean):
+    """150bp / 250bp read-length profiles (HiSeq-X / MiSeq-class data):
+    getclip + getsv byte parity vs the binary.  Exercises the aligner's
+    length bucketing and the longer clip consensus paths the 100bp
+    example never reaches."""
+    d = _prep(tmp_path, 48 + read_len, dict(
+        deletions=[(22_000, 23_500)], inversions=[(60_000, 61_200)]),
+        read_len=read_len, insert_mean=insert_mean)
+    r = subprocess.run([ref_bin, "getclip", "-o", f"{d}/ref", f"{d}/sim.bam"],
+                       capture_output=True)
+    assert r.returncode == 0
+    for suffix in ("clip.gz", "clip.fq.gz"):
+        a = gzip.open(f"{d}/s.{suffix}", "rb").read()
+        b = gzip.open(f"{d}/ref.{suffix}", "rb").read()
+        assert a == b, suffix
     _compare_getsv(ref_bin, d)
 
 
