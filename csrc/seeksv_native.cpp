@@ -404,6 +404,30 @@ void seeksv_coverage_diff(const int64_t* starts, const int64_t* ends,
   }
 }
 
+// Fused scatter + prefix-sum: depth[i] = number of segments covering i,
+// for i in [0, L).  depth must be zero-initialised with capacity L+1
+// (the +1 slot absorbs clipped scatter ends).  Replaces the
+// coverage_diff + np.cumsum pair on the pileup-depth hot path
+// (ref role: bam2depth.cpp:75-129).
+void seeksv_coverage_depth(const int64_t* starts, const int64_t* ends,
+                           const int32_t* weights, int64_t n_seg,
+                           int32_t* depth, int64_t L) {
+  for (int64_t i = 0; i < n_seg; i++) {
+    int64_t s = starts[i], e = ends[i];
+    if (s < 0) s = 0;
+    if (s > L) s = L;
+    if (e < 0) e = 0;
+    if (e > L) e = L;
+    depth[s] += weights[i];
+    depth[e] -= weights[i];
+  }
+  int32_t acc = 0;
+  for (int64_t i = 0; i < L; i++) {
+    acc += depth[i];
+    depth[i] = acc;
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -67,6 +67,9 @@ def _load() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_int64),
                     ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+                if hasattr(lib, "seeksv_coverage_depth"):
+                    lib.seeksv_coverage_depth.argtypes = \
+                        lib.seeksv_coverage_diff.argtypes
                 if hasattr(lib, "seeksv_sw_extend_batch"):
                     p32 = ctypes.POINTER(ctypes.c_int32)
                     lib.seeksv_sw_extend_batch.argtypes = [
@@ -197,6 +200,26 @@ def sw_global_native(query: np.ndarray, target: np.ndarray):
         cig_op.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return int(score.value), [(int(cig_len[i]), chr(cig_op[i]))
                               for i in range(nc)]
+
+
+def coverage_depth(starts: np.ndarray, ends: np.ndarray,
+                   weights: np.ndarray, L: int) -> np.ndarray:
+    """depth[i] = sum of weights of segments covering position i, i<L —
+    the fused native equivalent of np.cumsum(coverage_diff(...))[:L]."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "seeksv_coverage_depth"):
+        diff = coverage_diff(starts, ends, weights, L + 1)
+        return np.cumsum(diff)[:L].astype(np.int32)
+    depth = np.zeros(L + 1, np.int32)
+    s = np.ascontiguousarray(starts, np.int64)
+    e = np.ascontiguousarray(ends, np.int64)
+    w = np.ascontiguousarray(weights, np.int32)
+    lib.seeksv_coverage_depth(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(s), depth.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), L)
+    return depth[:L]
 
 
 def coverage_diff(starts: np.ndarray, ends: np.ndarray,

@@ -441,12 +441,18 @@ class DiscordantCounter:
         self.end = recs.pos + recs.ref_span(count_x=True)  # bam_calend
         # per-tid sorted views (BAM is coordinate sorted)
         self.tid_ranges: Dict[int, Tuple[int, int]] = {}
+        # per-tid max reference span: a record at pos p can only overlap
+        # beg if p > beg - max_span, which bounds the window slice from
+        # below (equivalence: dropped records all fail `end > beg`)
+        self.tid_max_span: Dict[int, int] = {}
         tids = np.asarray(recs.tid)
+        span = self.end - recs.pos
         for t in range(len(recs.ref_names)):
             lo = int(np.searchsorted(tids, t, "left"))
             hi = int(np.searchsorted(tids, t, "right"))
             if hi > lo:
                 self.tid_ranges[t] = (lo, hi)
+                self.tid_max_span[t] = int(span[lo:hi].max())
 
     def count(self, junction) -> int:
         up_chr, up_pos, up_strand, down_chr, down_pos, down_strand = junction
@@ -473,7 +479,9 @@ class DiscordantCounter:
         pos = self.recs.pos[lo:hi]
         # overlap predicate of bam_iter_query: pos < end && read_end > beg
         hi2 = lo + int(np.searchsorted(pos, end, "left"))
-        sl = slice(lo, hi2)
+        lo2 = lo + int(np.searchsorted(pos, beg - self.tid_max_span[tid],
+                                       "right"))
+        sl = slice(min(lo2, hi2), hi2)
         r = self.recs
         m = self.base_ok[sl] & (self.end[sl] > beg)
         if not m.any():
@@ -545,13 +553,12 @@ def compute_coverage(recs: BamRecords, min_mapq: int) -> Dict[int, np.ndarray]:
     depth_op = ((ops == OP_M) | (ops == OP_EQ) | (ops == OP_X)) & keep[rec_of_op]
     out: Dict[int, np.ndarray] = {}
     op_tid = recs.tid[rec_of_op]
-    from ..io.native import coverage_diff
+    from ..io.native import coverage_depth
     for t in range(len(recs.ref_names)):
         L = recs.ref_lens[t]
         sel = depth_op & (op_tid == t)
-        diff = coverage_diff(seg_start[sel], seg_end[sel],
-                             np.ones(int(sel.sum()), np.int32), L + 1)
-        out[t] = np.cumsum(diff)[:L].astype(np.int32)
+        out[t] = coverage_depth(seg_start[sel], seg_end[sel],
+                                np.ones(int(sel.sum()), np.int32), L)
     return out
 
 

@@ -84,3 +84,17 @@ def test_sw_global_native_vs_numpy():
         got_s, got_c = native.sw_global_native(q, t)
         assert got_s == ref_s
         assert got_c == ref_c
+
+
+def test_coverage_depth_matches_cumsum():
+    rng = np.random.default_rng(3)
+    starts = rng.integers(-50, 1100, 800)
+    ends = starts + rng.integers(1, 300, 800)
+    w = rng.integers(1, 4, 800).astype(np.int32)
+    L = 1000
+    got = native.coverage_depth(starts, ends, w, L)
+    diff = np.zeros(L + 2, np.int32)
+    np.add.at(diff, np.clip(starts, 0, L + 1), w)
+    np.add.at(diff, np.clip(ends, 0, L + 1), -w)
+    ref = np.cumsum(diff)[:L]
+    assert (got == ref).all()
