@@ -113,6 +113,18 @@ struct InflateCtx {
 
 const char kNt16[17] = "=ACMGRSVTWYHKDBN";
 
+// byte -> two unpacked ASCII bases (little-endian: low byte = high nibble,
+// i.e. the first base in BAM 4-bit packing)
+struct PairLut {
+  uint16_t v[256];
+  PairLut() {
+    for (int b = 0; b < 256; b++)
+      v[b] = (uint16_t)((uint8_t)kNt16[b >> 4] |
+                        ((uint16_t)(uint8_t)kNt16[b & 0xF] << 8));
+  }
+};
+const PairLut kPairLut;
+
 int32_t aux_xc(const uint8_t* a, const uint8_t* end) {
   int32_t xc = 0;
   const uint8_t* p = a;
@@ -372,11 +384,10 @@ BamSoA* seeksv_bam_decode(const char* path, int n_threads) {
           memcpy(out->cig + out->cig_off[i], body, 4 * (size_t)n_cigar);
           body += 4 * (size_t)n_cigar;
           uint8_t* sdst = out->seq + out->seq_off[i];
-          for (int32_t k = 0; k < l_seq; k++) {
-            uint8_t byte = body[k >> 1];
-            uint8_t nib = (k & 1) ? (byte & 0xF) : (byte >> 4);
-            sdst[k] = (uint8_t)kNt16[nib];
-          }
+          const int32_t half = l_seq >> 1;
+          for (int32_t k = 0; k < half; k++)
+            memcpy(sdst + 2 * k, &kPairLut.v[body[k]], 2);
+          if (l_seq & 1) sdst[l_seq - 1] = (uint8_t)kNt16[body[half] >> 4];
           body += (l_seq + 1) / 2;
           memcpy(out->qual + out->seq_off[i], body, (size_t)l_seq);
           body += l_seq;
