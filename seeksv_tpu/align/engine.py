@@ -461,6 +461,120 @@ def _cigar_str(cigar) -> str:
     return "".join(f"{l}{o}" for l, o in cigar) if cigar else "*"
 
 
+def _read_named_fastq(path):
+    names, seqs, quals = [], [], []
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        while True:
+            h = f.readline()
+            if not h:
+                break
+            names.append(h[1:].split()[0].rstrip("\n"))
+            seqs.append(f.readline().strip().encode())
+            f.readline()
+            quals.append(f.readline().strip())
+    return names, seqs, quals
+
+
+def _ref_span_of(cigar) -> int:
+    return sum(ln for ln, op in cigar if op in ("M", "D"))
+
+
+def align_paired_fastq_to_sam(ref_fa: str, fq1: str, fq2: str, out_sam: str,
+                              min_seed_len: int = MIN_SEED_LEN,
+                              times: int = 4) -> None:
+    """Paired-end-aware realignment (the bwa-sampe/mem-PE role the
+    reference outsources for its unmapped_{1,2}.fq.gz virus-mode reads,
+    ref: README.md:79-81, clip_reads.h:172 pair collection).
+
+    Both ends are batch-aligned independently; an insert-size model is
+    then fit from FR-oriented both-mapped pairs (same estimator as the
+    reference's cluster.cpp:15: integer mean + truncated-int deviation)
+    and pairs within mean±times·dev in FR orientation are flagged
+    proper (0x2) — the concordance predicate of cluster.cpp:136-147.
+    Mate fields (RNEXT/PNEXT/TLEN) and pair flags are filled so the
+    output is a valid PE SAM consumable by getclip."""
+    import math as _math
+
+    aligner = BatchAligner.from_fasta(ref_fa, k=min_seed_len)
+    names1, seqs1, quals1 = _read_named_fastq(fq1)
+    names2, seqs2, quals2 = _read_named_fastq(fq2)
+    if len(seqs1) != len(seqs2):
+        raise ValueError(f"paired fastqs differ in length: "
+                         f"{len(seqs1)} vs {len(seqs2)}")
+    a1 = aligner.batch_align(seqs1)
+    a2 = aligner.batch_align(seqs2)
+
+    def pair_isize(x: Alignment, y: Alignment):
+        """FR insert size (fragment length) or None if not FR/same-tid."""
+        if not (x.mapped and y.mapped) or x.tid != y.tid:
+            return None
+        fwd, rev = (x, y) if x.strand == 0 else (y, x)
+        if fwd.strand != 0 or rev.strand != 1:
+            return None
+        end = rev.pos + _ref_span_of(rev.cigar)
+        isz = end - fwd.pos
+        return isz if isz > 0 and fwd.pos <= rev.pos else None
+
+    ins = [v for v in (pair_isize(x, y) for x, y in zip(a1, a2))
+           if v is not None]
+    if ins:
+        mean = int(sum(ins) // len(ins))
+        dev = int(_math.sqrt(sum((v - mean) ** 2 for v in ins) / len(ins)))
+    else:
+        mean, dev = 0, 0
+    lo, hi = max(0, mean - times * dev), mean + times * dev
+
+    with open(out_sam, "w") as out:
+        out.write("@HD\tVN:1.5\tSO:unsorted\n")
+        for name, ln in zip(aligner.idx.chrom_names,
+                            np.diff(aligner.idx.chrom_starts)):
+            out.write(f"@SQ\tSN:{name}\tLN:{int(ln)}\n")
+        out.write("@PG\tID:seeksv-tpu-aln\tPN:seeksv-tpu\n")
+        for i in range(len(seqs1)):
+            x, y = a1[i], a2[i]
+            isz = pair_isize(x, y)
+            proper = isz is not None and lo <= isz <= hi and ins
+            for (qn, seq, qual, a, mate, first) in (
+                    (names1[i], seqs1[i], quals1[i], x, y, True),
+                    (names2[i], seqs2[i], quals2[i], y, x, False)):
+                flag = 0x1 | (0x40 if first else 0x80)
+                if proper:
+                    flag |= 0x2
+                if not a.mapped:
+                    flag |= 0x4
+                if not mate.mapped:
+                    flag |= 0x8
+                if a.mapped and a.strand:
+                    flag |= 0x10
+                if mate.mapped and mate.strand:
+                    flag |= 0x20
+                seq_s = seq.decode()
+                qual_s = qual
+                if a.mapped and a.strand:
+                    seq_s = bytes(
+                        _RC[np.frombuffer(seq, np.uint8)][::-1]).decode()
+                    qual_s = qual[::-1]
+                rname = aligner.idx.chrom_names[a.tid] if a.mapped else "*"
+                pos = a.pos + 1 if a.mapped else 0
+                if mate.mapped:
+                    rnext = ("=" if (a.mapped and mate.tid == a.tid)
+                             else aligner.idx.chrom_names[mate.tid])
+                    pnext = mate.pos + 1
+                else:
+                    rnext, pnext = "*", 0
+                tlen = 0
+                if isz is not None:
+                    fwd_first = a.mapped and a.strand == 0
+                    tlen = isz if fwd_first else -isz
+                mapq = a.mapq if a.mapped else 0
+                cig = _cigar_str(a.cigar) if a.mapped else "*"
+                tags = (f"\tNM:i:{a.nm}\tAS:i:{a.score}" if a.mapped else "")
+                out.write(f"{qn}\t{flag}\t{rname}\t{pos}\t{mapq}\t{cig}\t"
+                          f"{rnext}\t{pnext}\t{tlen}\t{seq_s}\t{qual_s}"
+                          f"{tags}\n")
+
+
 def align_fastq_to_sam(ref_fa: str, reads_fq: str, out_sam: str,
                        min_seed_len: int = MIN_SEED_LEN) -> None:
     """CLI entry: align a fastq(.gz) of clipped sequences, emit SAM in

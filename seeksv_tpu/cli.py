@@ -101,6 +101,9 @@ def main(argv=None) -> int:
     pf.add_argument("out_sv")
     pa = sub.add_parser("aln", help="realign clipped sequences (in-framework)")
     pa.add_argument("-k", type=int, default=19, dest="min_seed_len")
+    pa.add_argument("-2", "--mate2", default=None, dest="mate2",
+                    help="mate-2 fastq: paired-end mode (pair flags, mate "
+                         "fields, FR proper-pair model)")
     pa.add_argument("ref_fa")
     pa.add_argument("reads_fq")
     pa.add_argument("out_sam")
@@ -196,9 +199,15 @@ def main(argv=None) -> int:
         from .pipeline.somatic import somatic_filter
         somatic_filter(args.temp_sv, args.out_sv)
     elif args.cmd == "aln":
-        from .align.engine import align_fastq_to_sam
-        align_fastq_to_sam(args.ref_fa, args.reads_fq, args.out_sam,
-                           min_seed_len=args.min_seed_len)
+        if args.mate2:
+            from .align.engine import align_paired_fastq_to_sam
+            align_paired_fastq_to_sam(args.ref_fa, args.reads_fq, args.mate2,
+                                      args.out_sam,
+                                      min_seed_len=args.min_seed_len)
+        else:
+            from .align.engine import align_fastq_to_sam
+            align_fastq_to_sam(args.ref_fa, args.reads_fq, args.out_sam,
+                               min_seed_len=args.min_seed_len)
     elif args.cmd == "run":
         from .pipeline.driver import run_pipeline
         run_pipeline(args.ref_fa, args.bam, args.prefix,

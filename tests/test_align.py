@@ -112,3 +112,65 @@ def test_batch_seeding_equivalence(example_dir):
     batch = batch_candidates(al.idx, reads)
     for i, codes in enumerate(reads):
         assert batch[i] == al._candidates(codes), i
+
+
+def test_paired_end_alignment(tmp_path):
+    """align_paired_fastq_to_sam: PE SAM with mate fields, FR proper-pair
+    model, and correct positions (the bwa-PE role for the virus-mode
+    unmapped_{1,2}.fq.gz, ref: README.md:79-81)."""
+    import gzip
+
+    import numpy as np
+
+    from seeksv_tpu.align.engine import align_paired_fastq_to_sam
+    from seeksv_tpu.utils.simulate import random_genome, write_fasta
+
+    rng = np.random.default_rng(5)
+    G, L, n_pairs = 60_000, 100, 250
+    g = random_genome(rng, G)
+    write_fasta(str(tmp_path / "ref.fa"), {"chrV": g})
+    rc = bytes.maketrans(b"ACGT", b"TGCA")
+    truth = []
+    with gzip.open(tmp_path / "r1.fq.gz", "wt") as f1, \
+            gzip.open(tmp_path / "r2.fq.gz", "wt") as f2:
+        for i in range(n_pairs):
+            frag = int(rng.normal(400, 30))
+            s = int(rng.integers(0, G - frag - 1))
+            r1 = g[s:s + L].tobytes().decode()
+            r2f = g[s + frag - L:s + frag].tobytes()
+            r2 = r2f.translate(rc)[::-1].decode()
+            truth.append((s, s + frag - L, frag))
+            f1.write(f"@p{i}/1\n{r1}\n+\n{'I' * L}\n")
+            f2.write(f"@p{i}/2\n{r2}\n+\n{'I' * L}\n")
+    out = str(tmp_path / "pe.sam")
+    align_paired_fastq_to_sam(str(tmp_path / "ref.fa"),
+                              str(tmp_path / "r1.fq.gz"),
+                              str(tmp_path / "r2.fq.gz"), out)
+    recs = {}
+    for ln in open(out):
+        if ln.startswith("@"):
+            continue
+        f = ln.rstrip("\n").split("\t")
+        recs.setdefault(f[0].rsplit("/", 1)[0], []).append(f)
+    assert len(recs) == n_pairs
+    ok_pos = proper = 0
+    for i, (s1, s2, frag) in enumerate(truth):
+        pair = recs[f"p{i}"]
+        assert len(pair) == 2
+        r1 = next(f for f in pair if int(f[1]) & 0x40)
+        r2 = next(f for f in pair if int(f[1]) & 0x80)
+        fl1, fl2 = int(r1[1]), int(r2[1])
+        assert fl1 & 0x1 and fl2 & 0x1
+        if int(r1[3]) - 1 == s1 and int(r2[3]) - 1 == s2:
+            ok_pos += 1
+        if fl1 & 0x2:
+            proper += 1
+            # mate fields consistent
+            assert r1[6] == "=" and r2[6] == "="
+            assert int(r1[7]) == int(r2[3]) and int(r2[7]) == int(r1[3])
+            assert int(r1[8]) == -int(r2[8]) != 0
+            # FR orientation flags
+            assert not fl1 & 0x10 and fl1 & 0x20
+            assert fl2 & 0x10 and not fl2 & 0x20
+    assert ok_pos >= 0.97 * n_pairs
+    assert proper >= 0.95 * n_pairs
