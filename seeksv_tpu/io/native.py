@@ -46,6 +46,40 @@ class _BamSoA(ctypes.Structure):
     ]
 
 
+def _ensure_built(csrc_dir: str) -> None:
+    """Build the .so from source when missing or older than its source
+    (the binary is no longer committed; the Makefile is the single source
+    of truth).  Serialized against concurrent test workers via a lockdir;
+    failures fall through to the pure-python decoder."""
+    so = os.path.join(csrc_dir, "libseeksv_native.so")
+    src = os.path.join(csrc_dir, "seeksv_native.cpp")
+    if not os.path.exists(src):
+        return
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return
+    import subprocess
+    import time
+    lock = os.path.join(csrc_dir, ".build_lock")
+    try:
+        os.mkdir(lock)
+    except OSError:
+        for _ in range(600):  # another process is building
+            time.sleep(0.1)
+            if not os.path.exists(lock):
+                return
+        return
+    try:
+        subprocess.run(["make", "-s"], cwd=csrc_dir, check=False,
+                       capture_output=True, timeout=120)
+    except Exception:
+        pass
+    finally:
+        try:
+            os.rmdir(lock)
+        except OSError:
+            pass
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
@@ -53,6 +87,7 @@ def _load() -> Optional[ctypes.CDLL]:
     _TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    _ensure_built(os.path.join(here, "csrc"))
     for cand in (os.path.join(here, "csrc", "libseeksv_native.so"),
                  os.path.join(here, "libseeksv_native.so")):
         if os.path.exists(cand):

@@ -123,6 +123,14 @@ def _process_tid_sharded(recs, chrom, cands, n_shards, threshold,
                 _get_sclip_read(recs, int(i), left_map, right_map, threshold,
                                 save_low_quality, first_op, last_op,
                                 first_len, last_len, map_len, only="R")
+            # shards partition breakpoint keys (quantile edges + side
+            # filter), so merged maps must never see a key twice — a
+            # violated invariant here would silently drop consensus groups
+            overlap_l = merged_left.by_pos.keys() & left_map.by_pos.keys()
+            overlap_r = merged_right.by_pos.keys() & right_map.by_pos.keys()
+            assert not overlap_l and not overlap_r, (
+                f"shard key ranges overlap: {sorted(overlap_l)[:3]} "
+                f"{sorted(overlap_r)[:3]}")
             merged_left.by_pos.update(left_map.by_pos)
             merged_right.by_pos.update(right_map.by_pos)
     _write_chrom(chrom, merged_left, "5", soft_out, fq_out)
