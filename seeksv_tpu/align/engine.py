@@ -252,6 +252,7 @@ class BatchAligner(Aligner):
         super().__init__(index)
         self.device_seed = device_seed
         self.device_align = device_align
+        self.shard_mesh = None  # jax Mesh: shard extension batches over it
         self._seeder = None
         self._device_al = None
 
@@ -327,7 +328,13 @@ class BatchAligner(Aligner):
             max_q = max(len(per_read_codes[j[0]][0]) for j in jobs)
             LQ = self._bucket(max_q)
             LT = self._bucket(max_q + 100)
-            if not force_device and n_jobs * LQ * LT * 2 < self.MIN_DEVICE_CELLS:
+            n_rows = n_jobs  # allocated rows (>= n_jobs when mesh-padded)
+            put = None
+            if self.shard_mesh is not None:
+                n_rows = -(-n_jobs // self.shard_mesh.size) \
+                    * self.shard_mesh.size
+            if (not force_device and self.shard_mesh is None
+                    and n_jobs * LQ * LT * 2 < self.MIN_DEVICE_CELLS):
                 # host path: same batched structure; native C++ kernel
                 # (csrc) when built, numpy mirror otherwise — both exact
                 # matches of the device kernels (tests/test_native.py)
@@ -356,15 +363,25 @@ class BatchAligner(Aligner):
                     from ..ops.pallas_sw import pallas_extend_batch as sw_extend_batch
                 else:
                     from ..ops.jax_kernels import sw_extend_batch
-            lq = np.full((n_jobs, LQ), 4, np.int32)
-            lt = np.full((n_jobs, LT), 4, np.int32)
-            rq = np.full((n_jobs, LQ), 4, np.int32)
-            rt = np.full((n_jobs, LT), 4, np.int32)
-            lqlen = np.zeros(n_jobs, np.int32)
-            ltlen = np.zeros(n_jobs, np.int32)
-            rqlen = np.zeros(n_jobs, np.int32)
-            rtlen = np.zeros(n_jobs, np.int32)
-            h0 = np.zeros(n_jobs, np.int32)
+                if self.shard_mesh is not None:
+                    # SPMD: extension batches sharded over all mesh devices
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    def put(a):
+                        spec = PartitionSpec(
+                            tuple(self.shard_mesh.axis_names),
+                            *([None] * (a.ndim - 1)))
+                        return jax.device_put(
+                            a, NamedSharding(self.shard_mesh, spec))
+            lq = np.full((n_rows, LQ), 4, np.int32)
+            lt = np.full((n_rows, LT), 4, np.int32)
+            rq = np.full((n_rows, LQ), 4, np.int32)
+            rt = np.full((n_rows, LT), 4, np.int32)
+            lqlen = np.zeros(n_rows, np.int32)
+            ltlen = np.zeros(n_rows, np.int32)
+            rqlen = np.zeros(n_rows, np.int32)
+            rtlen = np.zeros(n_rows, np.int32)
+            h0 = np.zeros(n_rows, np.int32)
             meta = []
             for k, (ri, strand, diag, q_start, anchor_len, tid) in enumerate(jobs):
                 codes = per_read_codes[ri][strand]
@@ -390,13 +407,14 @@ class BatchAligner(Aligner):
                 rqlen[k] = len(rq_arr)
                 rtlen[k] = len(rt_arr)
                 meta.append((ri, strand, n, ref_anchor, q_start, anchor_len, tid))
+            conv = put if put is not None else jnp.asarray
             left = {k2: np.asarray(v) for k2, v in sw_extend_batch(
-                jnp.asarray(lq), jnp.asarray(lqlen), jnp.asarray(lt),
-                jnp.asarray(ltlen), jnp.asarray(h0)).items()}
+                conv(lq), conv(lqlen), conv(lt),
+                conv(ltlen), conv(h0)).items()}
             # clip/extend decision after left extension
             qb = np.zeros(n_jobs, np.int64)
             rb = np.zeros(n_jobs, np.int64)
-            h0r = np.zeros(n_jobs, np.int32)
+            h0r = np.zeros(n_rows, np.int32)
             for k, (ri, strand, n, ref_anchor, q_start, anchor_len, tid) in enumerate(meta):
                 h0r[k] = left["max_score"][k]  # bwa sc0 semantics
                 if (left["gscore"][k] <= 0
@@ -407,8 +425,8 @@ class BatchAligner(Aligner):
                     qb[k] = 0
                     rb[k] = ref_anchor - left["gtle"][k]
             right = {k2: np.asarray(v) for k2, v in sw_extend_batch(
-                jnp.asarray(rq), jnp.asarray(rqlen), jnp.asarray(rt),
-                jnp.asarray(rtlen), jnp.asarray(h0r)).items()}
+                conv(rq), conv(rqlen), conv(rt),
+                conv(rtlen), conv(h0r)).items()}
             for k, (ri, strand, n, ref_anchor, q_start, anchor_len, tid) in enumerate(meta):
                 q_end0 = q_start + anchor_len
                 ref_end0 = ref_anchor + anchor_len

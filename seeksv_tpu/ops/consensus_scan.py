@@ -46,7 +46,12 @@ def consensus_scan_groups(seq_l, len_l, qual_l, seq_r, len_r, qual_r,
       slot_of_read [NG, G] (the entry each read merged into),
       support [NG, S], n_slots [NG], overflow [NG] bool,
       sl_len/sr_len [NG, S] and sl_seq/sr_seq [NG, S, L*] (final longest
-      sides; quality follows the winning side wholesale).
+      sides; quality follows the winning side wholesale),
+      src_l/src_r [NG, S]: the read index (within the group) whose data
+      currently owns each side — the host reconstructs quality (side
+      replacement is wholesale) and the consensus CIGAR (follows the
+      aligned side, ref clip_reads.cpp:69-75) from these without
+      re-running the merge.
     """
     NG, G, LL = seq_l.shape
     LR = seq_r.shape[2]
@@ -58,7 +63,7 @@ def consensus_scan_groups(seq_l, len_l, qual_l, seq_r, len_r, qual_r,
     def one_group(sl, ll, ql, sr, lr, qr, n):
         def body(carry, g):
             (s_sl, s_ll, s_ql, s_sr, s_lr, s_qr, s_sup, n_slots,
-             slot_of, overflow) = carry
+             slot_of, overflow, s_srcl, s_srcr) = carry
             rl_seq = sl[g]            # [LL] right-aligned
             rl_len = ll[g]
             rr_seq = sr[g]            # [LR]
@@ -102,23 +107,30 @@ def consensus_scan_groups(seq_l, len_l, qual_l, seq_r, len_r, qual_r,
             n_slots2 = jnp.where(active & is_new & (n_slots < S),
                                  n_slots + 1, n_slots)
             slot_of2 = slot_of.at[g].set(jnp.where(do_write, target, -1))
+            s_srcl2 = s_srcl.at[target].set(
+                jnp.where(do_write & take_l, g, s_srcl[target]))
+            s_srcr2 = s_srcr.at[target].set(
+                jnp.where(do_write & take_r, g, s_srcr[target]))
             return (s_sl2, s_ll2, s_ql2, s_sr2, s_lr2, s_qr2, s_sup2,
-                    n_slots2, slot_of2, new_overflow), None
+                    n_slots2, slot_of2, new_overflow, s_srcl2, s_srcr2), None
 
         init = (jnp.zeros((S, LL), jnp.uint8), jnp.zeros(S, jnp.int32),
                 jnp.zeros((S, LL), jnp.uint8),
                 jnp.zeros((S, LR), jnp.uint8), jnp.zeros(S, jnp.int32),
                 jnp.zeros((S, LR), jnp.uint8),
                 jnp.zeros(S, jnp.int32), jnp.int32(0),
-                jnp.full(G, -1, jnp.int32), jnp.bool_(False))
+                jnp.full(G, -1, jnp.int32), jnp.bool_(False),
+                jnp.full(S, -1, jnp.int32), jnp.full(S, -1, jnp.int32))
         (s_sl, s_ll, s_ql, s_sr, s_lr, s_qr, s_sup, n_slots, slot_of,
-         overflow), _ = jax.lax.scan(body, init,
-                                     jnp.arange(G, dtype=jnp.int32))
-        return (s_sl, s_ll, s_sr, s_lr, s_sup, n_slots, slot_of, overflow)
+         overflow, s_srcl, s_srcr), _ = jax.lax.scan(
+             body, init, jnp.arange(G, dtype=jnp.int32))
+        return (s_sl, s_ll, s_sr, s_lr, s_sup, n_slots, slot_of, overflow,
+                s_srcl, s_srcr)
 
     out = jax.vmap(one_group)(seq_l, len_l, qual_l, seq_r, len_r, qual_r,
                               n_reads)
-    (s_sl, s_ll, s_sr, s_lr, s_sup, n_slots, slot_of, overflow) = out
+    (s_sl, s_ll, s_sr, s_lr, s_sup, n_slots, slot_of, overflow,
+     s_srcl, s_srcr) = out
     return {"sl_seq": s_sl, "sl_len": s_ll, "sr_seq": s_sr, "sr_len": s_lr,
             "support": s_sup, "n_slots": n_slots, "slot_of_read": slot_of,
-            "overflow": overflow}
+            "overflow": overflow, "src_l": s_srcl, "src_r": s_srcr}

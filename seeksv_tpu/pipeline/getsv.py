@@ -125,10 +125,16 @@ def get_align_info(recs: BamRecords, i: int) -> AlignInfo:
                      strand, cigar_vec, seq, lcl, rcl, typ)
 
 
-def get_junction(ari: AlignReadsInfo, orientation: str, cai: AlignInfo,
-                 jmap: JunctionMap, aligned2clipped: list,
-                 rescue: bool = False) -> None:
-    """ref: getsv.cpp:1705-1845."""
+def junction_event(ari: AlignReadsInfo, orientation: str, cai: AlignInfo,
+                   rescue: bool = False):
+    """The pure part of GetJunction (ref: getsv.cpp:1705-1805): computes
+    the oriented junction key + up/down SeqInfo payloads from one
+    (consensus, realignment) pairing, with no map access.  Returns
+    ("junction", junction, up, down), ("rescue", pos_key, ClipReads), or
+    None.  This is the unit the SPMD path shards over groups — the event
+    stream is order-preserving and state-free, so per-shard generation +
+    ordered replay is exactly the sequential pass
+    (parallel/spmd_pipeline.py)."""
     chrom, pos = ari.chr, ari.pos
     cigar_vec = list(ari.cigar)
     aligned_seq = ari.aligned
@@ -147,10 +153,10 @@ def get_junction(ari: AlignReadsInfo, orientation: str, cai: AlignInfo,
         # virus-integration iteration (README.md:55-57) actually works.
         if rescue:
             aligned_info = SeqInfo(aligned_seq, cigar_vec, 0, 0, support, 0)
-            aligned2clipped.append(
-                ((chrom, pos), ClipReads(aligned_info, orientation,
-                                         clipped_seq, ari.clipped_qual, "n")))
-        return
+            return ("rescue", (chrom, pos),
+                    ClipReads(aligned_info, orientation, clipped_seq,
+                              ari.clipped_qual, "n"))
+        return None
 
     up = SeqInfo()
     down = SeqInfo()
@@ -191,8 +197,15 @@ def get_junction(ari: AlignReadsInfo, orientation: str, cai: AlignInfo,
                 up = SeqInfo(clipped_seq, list(cai.cigar), cai.rcl, cai.lcl, 0, uniq)
                 down = SeqInfo(aligned_seq, cigar_vec, 0, 0, support, 0)
     else:
-        return
+        return None
+    return ("junction", junction, up, down)
 
+
+def insert_junction_event(jmap: JunctionMap, junction, up: SeqInfo,
+                          down: SeqInfo) -> None:
+    """Duplicate-key accumulation of GetJunction (ref: getsv.cpp:1805-1835):
+    probe the equal range, merge when the clip-length fingerprints line up,
+    else append."""
     rng = jmap.equal_range(junction)
     if len(rng) == 0:
         jmap.insert(junction, OtherInfo(up, down, -1, 0))
@@ -212,11 +225,25 @@ def get_junction(ari: AlignReadsInfo, orientation: str, cai: AlignInfo,
         jmap.insert(junction, OtherInfo(up, down, -1, 0))
 
 
-def input_soft_info(clipfile: str, samfile: str, jmap: JunctionMap,
-                    aligned2clipped: list, skip_min_mapq: int = 0,
-                    rescue: bool = False) -> None:
+def get_junction(ari: AlignReadsInfo, orientation: str, cai: AlignInfo,
+                 jmap: JunctionMap, aligned2clipped: list,
+                 rescue: bool = False) -> None:
+    """ref: getsv.cpp:1705-1845 — event generation + map accumulation."""
+    ev = junction_event(ari, orientation, cai, rescue)
+    if ev is None:
+        return
+    if ev[0] == "rescue":
+        aligned2clipped.append((ev[1], ev[2]))
+    else:
+        insert_junction_event(jmap, ev[1], ev[2], ev[3])
+
+
+def iter_soft_groups(clipfile: str, samfile: str, skip_min_mapq: int = 0):
     """Co-iterate clip.gz with the realigned clip records
-    (ref: getsv.h:423-541), preserving grouping/order quirks.
+    (ref: getsv.h:423-541), preserving grouping/order quirks; yields one
+    (AlignReadsInfo, orientation, [AlignInfo...]) tuple per clip group —
+    the alignments in sorted-key order, exactly the pairing order the
+    sequential pass uses.
 
     skip_min_mapq reproduces the reference's global-variable interaction:
     g_min_mapQ is 0 here unless `-F` ran first, in which case FindJunction
@@ -230,13 +257,11 @@ def input_soft_info(clipfile: str, samfile: str, jmap: JunctionMap,
     clip_group: List[Tuple[AlignReadsInfo, str]] = []
     align_map: Dict[Tuple[bytes, Tuple[str, int]], AlignInfo] = {}
 
-    def process_group():
+    def group():
         if not clip_group:
-            return
+            return None
         ari, orient = clip_group[0]  # only the first entry pairs (quirk)
-        for key in sorted(align_map):
-            get_junction(ari, orient, align_map[key], jmap, aligned2clipped,
-                         rescue)
+        return (ari, orient, [align_map[k] for k in sorted(align_map)])
 
     opener = gzip.open if clipfile.endswith(".gz") else open
     with opener(clipfile, "rt") as fin:
@@ -265,7 +290,9 @@ def input_soft_info(clipfile: str, samfile: str, jmap: JunctionMap,
                 if qn == last:
                     align_map.setdefault((last, (cai.chr, cai.pos)), cai)
                 else:
-                    process_group()
+                    g = group()
+                    if g is not None:
+                        yield g
                     clip_group = [(ari, orient)]
                     align_map = {(last, (cai.chr, cai.pos)): cai}  # old-seq key (quirk)
                     last = cseq
@@ -282,7 +309,19 @@ def input_soft_info(clipfile: str, samfile: str, jmap: JunctionMap,
             align_map.setdefault((last, (cai.chr, cai.pos)), cai)
         else:
             break
-    process_group()
+    g = group()
+    if g is not None:
+        yield g
+
+
+def input_soft_info(clipfile: str, samfile: str, jmap: JunctionMap,
+                    aligned2clipped: list, skip_min_mapq: int = 0,
+                    rescue: bool = False) -> None:
+    """Sequential accumulation over iter_soft_groups (ref: getsv.h:423-541)."""
+    for ari, orient, cais in iter_soft_groups(clipfile, samfile,
+                                              skip_min_mapq):
+        for cai in cais:
+            get_junction(ari, orient, cai, jmap, aligned2clipped, rescue)
 
 
 def merge_junction(jmap: JunctionMap, search_length: int) -> None:
@@ -531,11 +570,14 @@ class DiscordantCounter:
         return cnt
 
 
-def compute_coverage(recs: BamRecords, min_mapq: int) -> Dict[int, np.ndarray]:
-    """Per-chromosome depth arrays replacing the mplp pileup
-    (ref: bam2depth.cpp:75-129): reads failing mapQ are marked unmapped
-    (bam2depth.h:33), the pileup engine masks BAM_DEF_MASK, and positions
-    count reads presenting a query base (M/=/X segments)."""
+def depth_segments(recs: BamRecords, min_mapq: int):
+    """Extract the (start, end, tid) reference segments that the mplp
+    pileup counts (ref: bam2depth.cpp:75-129): reads failing mapQ are
+    marked unmapped (bam2depth.h:33), the pileup engine masks
+    BAM_DEF_MASK, and positions count reads presenting a query base
+    (M/=/X segments).  Returns (seg_start, seg_end, seg_tid) filtered to
+    depth-contributing ops — the shared front half of compute_coverage
+    and the SPMD coverage step (parallel/spmd_pipeline.py)."""
     keep = (recs.mapq >= min_mapq) & ((recs.flag & DEF_MASK) == 0)
     ops = (recs.cig & 0xF).astype(np.int32)
     lens = (recs.cig >> 4).astype(np.int64)
@@ -551,22 +593,30 @@ def compute_coverage(recs: BamRecords, min_mapq: int) -> Dict[int, np.ndarray]:
     seg_start = recs.pos[rec_of_op].astype(np.int64) + ref_off
     seg_end = seg_start + lens
     depth_op = ((ops == OP_M) | (ops == OP_EQ) | (ops == OP_X)) & keep[rec_of_op]
-    out: Dict[int, np.ndarray] = {}
     op_tid = recs.tid[rec_of_op]
+    return seg_start[depth_op], seg_end[depth_op], op_tid[depth_op]
+
+
+def compute_coverage(recs: BamRecords, min_mapq: int) -> Dict[int, np.ndarray]:
+    """Per-chromosome depth arrays replacing the mplp pileup (see
+    depth_segments)."""
+    seg_start, seg_end, seg_tid = depth_segments(recs, min_mapq)
+    out: Dict[int, np.ndarray] = {}
     from ..io.native import coverage_depth
     for t in range(len(recs.ref_names)):
         L = recs.ref_lens[t]
-        sel = depth_op & (op_tid == t)
+        sel = seg_tid == t
         out[t] = coverage_depth(seg_start[sel], seg_end[sel],
                                 np.ones(int(sel.sum()), np.int32), L)
     return out
 
 
 class DepthQuery:
-    def __init__(self, recs: BamRecords, min_mapq: int):
+    def __init__(self, recs: BamRecords, min_mapq: int,
+                 cov: Optional[Dict[int, np.ndarray]] = None):
         self.name2tid = {n: i for i, n in enumerate(recs.ref_names)}
         self.ref_lens = recs.ref_lens
-        self.cov = compute_coverage(recs, min_mapq)
+        self.cov = cov if cov is not None else compute_coverage(recs, min_mapq)
         self.prefix = {t: np.concatenate([[0], np.cumsum(c, dtype=np.int64)])
                        for t, c in self.cov.items()}
 
