@@ -32,6 +32,53 @@ struct Block {
   size_t out_len;    // ISIZE
 };
 
+// Scans complete BGZF blocks in [buf, buf+n); stops at a trailing partial
+// block.  *consumed = bytes of complete blocks.  Returns false on a
+// malformed (non-BGZF) header at a block boundary.
+bool scan_bgzf_prefix(const uint8_t* buf, size_t n, std::vector<Block>* out,
+                      size_t* total_out, size_t* consumed) {
+  size_t off = 0;
+  size_t out_off = 0;
+  while (off + 18 <= n) {
+    if (buf[off] != 0x1f || buf[off + 1] != 0x8b) return false;
+    uint8_t flg = buf[off + 3];
+    size_t p = off + 10;
+    size_t bsize = 0;
+    if (flg & 4) {  // FEXTRA
+      uint16_t xlen;
+      memcpy(&xlen, buf + p, 2);
+      size_t xend = p + 2 + xlen;
+      if (xend > n) break;  // header incomplete: wait for more bytes
+      p += 2;
+      while (p + 4 <= xend) {
+        uint8_t si1 = buf[p], si2 = buf[p + 1];
+        uint16_t slen;
+        memcpy(&slen, buf + p + 2, 2);
+        if (si1 == 'B' && si2 == 'C' && slen == 2) {
+          uint16_t bs;
+          memcpy(&bs, buf + p + 4, 2);
+          bsize = (size_t)bs + 1;
+        }
+        p += 4 + slen;
+      }
+      p = xend;
+    }
+    if (bsize == 0) return false;  // not BGZF
+    size_t data_off = p;
+    size_t block_end = off + bsize;
+    if (block_end > n) break;  // partial block at tail
+    if (block_end < data_off + 8) return false;
+    uint32_t isize;
+    memcpy(&isize, buf + block_end - 4, 4);
+    out->push_back({data_off, block_end - data_off - 8, out_off, isize});
+    out_off += isize;
+    off = block_end;
+  }
+  *total_out = out_off;
+  *consumed = off;
+  return true;
+}
+
 bool scan_bgzf_blocks(const uint8_t* buf, size_t n, std::vector<Block>* out,
                       size_t* total_out) {
   size_t off = 0;
@@ -214,6 +261,125 @@ static BamSoA* fail(BamSoA* b, const char* msg) {
   return b;
 }
 
+// Allocates + fills every per-record SoA buffer of `out` from the record
+// pointers (each -> the 4-byte block_size prefix of one complete BAM
+// record).  Shared by the whole-file decoder and the chunked stream.
+static void fill_records(const std::vector<const uint8_t*>& rec_ptrs,
+                         BamSoA* out, int n_threads) {
+  const int64_t n = (int64_t)rec_ptrs.size();
+  int64_t cig_total = 0, seq_total = 0, qname_total = 0;
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t* r = rec_ptrs[(size_t)i];
+    uint8_t l_read_name = r[4 + 8];
+    uint16_t n_cigar;
+    memcpy(&n_cigar, r + 4 + 12, 2);
+    int32_t l_seq;
+    memcpy(&l_seq, r + 4 + 16, 4);
+    cig_total += n_cigar;
+    seq_total += l_seq;
+    qname_total += l_read_name - 1;
+  }
+  out->n = n;
+  out->flag = (int32_t*)malloc(4 * (n ? n : 1));
+  out->tid = (int32_t*)malloc(4 * (n ? n : 1));
+  out->pos = (int32_t*)malloc(4 * (n ? n : 1));
+  out->mapq = (int32_t*)malloc(4 * (n ? n : 1));
+  out->mtid = (int32_t*)malloc(4 * (n ? n : 1));
+  out->mpos = (int32_t*)malloc(4 * (n ? n : 1));
+  out->isize = (int32_t*)malloc(4 * (n ? n : 1));
+  out->l_qseq = (int32_t*)malloc(4 * (n ? n : 1));
+  out->xc = (int32_t*)malloc(4 * (n ? n : 1));
+  out->cig_off = (int64_t*)malloc(8 * (n + 1));
+  out->seq_off = (int64_t*)malloc(8 * (n + 1));
+  out->qname_off = (int64_t*)malloc(8 * (n + 1));
+  out->cig = (uint32_t*)malloc(4 * (cig_total ? cig_total : 1));
+  out->seq = (uint8_t*)malloc(seq_total ? seq_total : 1);
+  out->qual = (uint8_t*)malloc(seq_total ? seq_total : 1);
+  out->qnames = (uint8_t*)malloc(qname_total ? qname_total : 1);
+  out->n_cig_total = cig_total;
+  out->n_seq_total = seq_total;
+  out->n_qname_total = qname_total;
+
+  {  // offsets (sequential prefix pass)
+    int64_t co = 0, so = 0, qo = 0;
+    for (int64_t i = 0; i < n; i++) {
+      const uint8_t* r = rec_ptrs[(size_t)i];
+      uint8_t l_read_name = r[4 + 8];
+      uint16_t n_cigar;
+      memcpy(&n_cigar, r + 4 + 12, 2);
+      int32_t l_seq;
+      memcpy(&l_seq, r + 4 + 16, 4);
+      out->cig_off[i] = co;
+      out->seq_off[i] = so;
+      out->qname_off[i] = qo;
+      co += n_cigar;
+      so += l_seq;
+      qo += l_read_name - 1;
+    }
+    out->cig_off[n] = co;
+    out->seq_off[n] = so;
+    out->qname_off[n] = qo;
+  }
+
+  std::vector<std::thread> ths;
+  int nt = n_threads < 1 ? 1 : n_threads;
+  if ((int64_t)nt > n) nt = (int)(n > 0 ? n : 1);
+  int64_t per = (n + nt - 1) / nt;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++) {
+      const uint8_t* r = rec_ptrs[(size_t)i];
+      int32_t bs;
+      memcpy(&bs, r, 4);
+      const uint8_t* rend = r + 4 + bs;
+      const uint8_t* q = r + 4;
+      int32_t tid, pos2, l_seq, mtid, mpos, tlen;
+      memcpy(&tid, q, 4);
+      memcpy(&pos2, q + 4, 4);
+      uint8_t l_read_name = q[8];
+      uint8_t mapq = q[9];
+      uint16_t n_cigar, flag;
+      memcpy(&n_cigar, q + 12, 2);
+      memcpy(&flag, q + 14, 2);
+      memcpy(&l_seq, q + 16, 4);
+      memcpy(&mtid, q + 20, 4);
+      memcpy(&mpos, q + 24, 4);
+      memcpy(&tlen, q + 28, 4);
+      out->flag[i] = flag;
+      out->tid[i] = tid;
+      out->pos[i] = pos2;
+      out->mapq[i] = mapq;
+      out->mtid[i] = mtid;
+      out->mpos[i] = mpos;
+      out->isize[i] = tlen;
+      out->l_qseq[i] = l_seq;
+      const uint8_t* body = q + 32;
+      memcpy(out->qnames + out->qname_off[i], body, l_read_name - 1);
+      body += l_read_name;
+      memcpy(out->cig + out->cig_off[i], body, 4 * (size_t)n_cigar);
+      body += 4 * (size_t)n_cigar;
+      uint8_t* sdst = out->seq + out->seq_off[i];
+      const int32_t half = l_seq >> 1;
+      for (int32_t k = 0; k < half; k++)
+        memcpy(sdst + 2 * k, &kPairLut.v[body[k]], 2);
+      if (l_seq & 1) sdst[l_seq - 1] = (uint8_t)kNt16[body[half] >> 4];
+      body += (l_seq + 1) / 2;
+      memcpy(out->qual + out->seq_off[i], body, (size_t)l_seq);
+      body += l_seq;
+      out->xc[i] = (body < rend) ? aux_xc(body, rend) : 0;
+    }
+  };
+  if (nt == 1) {
+    work(0, n);
+  } else {
+    for (int t = 0; t < nt; t++) {
+      int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
+      if (lo >= hi) break;
+      ths.emplace_back(work, lo, hi);
+    }
+    for (auto& th : ths) th.join();
+  }
+}
+
 BamSoA* seeksv_bam_decode(const char* path, int n_threads) {
   BamSoA* out = (BamSoA*)calloc(1, sizeof(BamSoA));
   FILE* f = fopen(path, "rb");
@@ -280,124 +446,185 @@ BamSoA* seeksv_bam_decode(const char* path, int n_threads) {
   out->ref_names = (uint8_t*)malloc(names.size());
   memcpy(out->ref_names, names.data(), names.size());
 
-  // pass 1: count records and payload sizes
+  // collect record pointers, then shared SoA fill
   const uint8_t* rec = p;
-  int64_t n = 0, cig_total = 0, seq_total = 0, qname_total = 0;
   std::vector<const uint8_t*> rec_ptrs;
   while (rec + 4 <= end) {
     int32_t bs;
     memcpy(&bs, rec, 4);
     if (rec + 4 + bs > end) break;
     rec_ptrs.push_back(rec);
-    uint8_t l_read_name = rec[4 + 8];
-    uint16_t n_cigar;
-    memcpy(&n_cigar, rec + 4 + 12, 2);
-    int32_t l_seq;
-    memcpy(&l_seq, rec + 4 + 16, 4);
-    n++;
-    cig_total += n_cigar;
-    seq_total += l_seq;
-    qname_total += l_read_name - 1;
     rec = rec + 4 + bs;
   }
-  out->n = n;
-  out->flag = (int32_t*)malloc(4 * n);
-  out->tid = (int32_t*)malloc(4 * n);
-  out->pos = (int32_t*)malloc(4 * n);
-  out->mapq = (int32_t*)malloc(4 * n);
-  out->mtid = (int32_t*)malloc(4 * n);
-  out->mpos = (int32_t*)malloc(4 * n);
-  out->isize = (int32_t*)malloc(4 * n);
-  out->l_qseq = (int32_t*)malloc(4 * n);
-  out->xc = (int32_t*)malloc(4 * n);
-  out->cig_off = (int64_t*)malloc(8 * (n + 1));
-  out->seq_off = (int64_t*)malloc(8 * (n + 1));
-  out->qname_off = (int64_t*)malloc(8 * (n + 1));
-  out->cig = (uint32_t*)malloc(4 * (cig_total ? cig_total : 1));
-  out->seq = (uint8_t*)malloc(seq_total ? seq_total : 1);
-  out->qual = (uint8_t*)malloc(seq_total ? seq_total : 1);
-  out->qnames = (uint8_t*)malloc(qname_total ? qname_total : 1);
-  out->n_cig_total = cig_total;
-  out->n_seq_total = seq_total;
-  out->n_qname_total = qname_total;
-
-  // offsets (sequential prefix pass)
-  {
-    int64_t co = 0, so = 0, qo = 0;
-    for (int64_t i = 0; i < n; i++) {
-      const uint8_t* r = rec_ptrs[(size_t)i];
-      uint8_t l_read_name = r[4 + 8];
-      uint16_t n_cigar;
-      memcpy(&n_cigar, r + 4 + 12, 2);
-      int32_t l_seq;
-      memcpy(&l_seq, r + 4 + 16, 4);
-      out->cig_off[i] = co;
-      out->seq_off[i] = so;
-      out->qname_off[i] = qo;
-      co += n_cigar;
-      so += l_seq;
-      qo += l_read_name - 1;
-    }
-    out->cig_off[n] = co;
-    out->seq_off[n] = so;
-    out->qname_off[n] = qo;
-  }
-
-  // pass 2: parallel fill
-  {
-    std::vector<std::thread> ths;
-    int nt = n_threads;
-    int64_t per = (n + nt - 1) / nt;
-    for (int t = 0; t < nt; t++) {
-      int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
-      if (lo >= hi) break;
-      ths.emplace_back([&, lo, hi]() {
-        for (int64_t i = lo; i < hi; i++) {
-          const uint8_t* r = rec_ptrs[(size_t)i];
-          int32_t bs;
-          memcpy(&bs, r, 4);
-          const uint8_t* rend = r + 4 + bs;
-          const uint8_t* q = r + 4;
-          int32_t tid, pos2, l_seq, mtid, mpos, tlen;
-          memcpy(&tid, q, 4);
-          memcpy(&pos2, q + 4, 4);
-          uint8_t l_read_name = q[8];
-          uint8_t mapq = q[9];
-          uint16_t n_cigar, flag;
-          memcpy(&n_cigar, q + 12, 2);
-          memcpy(&flag, q + 14, 2);
-          memcpy(&l_seq, q + 16, 4);
-          memcpy(&mtid, q + 20, 4);
-          memcpy(&mpos, q + 24, 4);
-          memcpy(&tlen, q + 28, 4);
-          out->flag[i] = flag;
-          out->tid[i] = tid;
-          out->pos[i] = pos2;
-          out->mapq[i] = mapq;
-          out->mtid[i] = mtid;
-          out->mpos[i] = mpos;
-          out->isize[i] = tlen;
-          out->l_qseq[i] = l_seq;
-          const uint8_t* body = q + 32;
-          memcpy(out->qnames + out->qname_off[i], body, l_read_name - 1);
-          body += l_read_name;
-          memcpy(out->cig + out->cig_off[i], body, 4 * (size_t)n_cigar);
-          body += 4 * (size_t)n_cigar;
-          uint8_t* sdst = out->seq + out->seq_off[i];
-          const int32_t half = l_seq >> 1;
-          for (int32_t k = 0; k < half; k++)
-            memcpy(sdst + 2 * k, &kPairLut.v[body[k]], 2);
-          if (l_seq & 1) sdst[l_seq - 1] = (uint8_t)kNt16[body[half] >> 4];
-          body += (l_seq + 1) / 2;
-          memcpy(out->qual + out->seq_off[i], body, (size_t)l_seq);
-          body += l_seq;
-          out->xc[i] = (body < rend) ? aux_xc(body, rend) : 0;
-        }
-      });
-    }
-    for (auto& th : ths) th.join();
-  }
+  fill_records(rec_ptrs, out, n_threads);
   return out;
+}
+
+// ---------------------------------------------------------------------------
+// Chunked streaming reader: bounded-memory decode (the memory contract of
+// the reference's per-chromosome flushes, ref: clip_reads.h:423-446, made
+// explicit: compressed-read window + decompressed carry + one chunk of SoA).
+
+struct BamStream {
+  FILE* f = nullptr;
+  int n_threads = 1;
+  std::vector<uint8_t> comp;    // unconsumed compressed bytes (partial block)
+  std::vector<uint8_t> dbuf;    // decompressed, unparsed bytes
+  bool file_eof = false;
+  bool failed = false;
+  char error[256] = {0};
+  // header (copied into every chunk's BamSoA)
+  int32_t n_refs = 0;
+  std::vector<int32_t> ref_lens;
+  std::string ref_names;  // '\0'-joined
+
+  static constexpr size_t kReadWindow = 16u << 20;  // compressed bytes/round
+
+  // Reads one compressed window, inflates complete BGZF blocks into dbuf.
+  // Returns false on error (error[] set) — no-op at file EOF.
+  bool pump() {
+    if (file_eof) return true;
+    size_t old = comp.size();
+    comp.resize(old + kReadWindow);
+    size_t got = fread(comp.data() + old, 1, kReadWindow, f);
+    comp.resize(old + got);
+    if (got < kReadWindow) file_eof = true;
+    std::vector<Block> blocks;
+    size_t total = 0, consumed = 0;
+    if (!scan_bgzf_prefix(comp.data(), comp.size(), &blocks, &total,
+                          &consumed)) {
+      snprintf(error, sizeof(error), "not a BGZF file");
+      return failed = true, false;
+    }
+    if (file_eof && consumed != comp.size()) {
+      snprintf(error, sizeof(error), "truncated BGZF block at EOF");
+      return failed = true, false;
+    }
+    size_t dold = dbuf.size();
+    dbuf.resize(dold + total);
+    int nt = n_threads < 1 ? 1 : n_threads;
+    size_t nb = blocks.size();
+    if (nb) {
+      std::vector<std::thread> ths;
+      size_t per = (nb + nt - 1) / nt;
+      for (int t = 0; t < nt; t++) {
+        size_t lo = t * per, hi = lo + per < nb ? lo + per : nb;
+        if (lo >= hi) break;
+        ths.emplace_back([&, lo, hi]() {
+          InflateCtx ctx;
+          for (size_t i = lo; i < hi; i++) {
+            const Block& blk = blocks[i];
+            inflate_block(comp.data() + blk.comp_off, blk.comp_len,
+                          dbuf.data() + dold + blk.out_off, blk.out_len,
+                          ctx.d);
+          }
+        });
+      }
+      for (auto& th : ths) th.join();
+    }
+    comp.erase(comp.begin(), comp.begin() + (ptrdiff_t)consumed);
+    return true;
+  }
+};
+
+extern "C" BamStream* seeksv_bam_open(const char* path, int n_threads,
+                                      char* err256) {
+  err256[0] = 0;
+  BamStream* s = new BamStream();
+  s->f = fopen(path, "rb");
+  if (!s->f) {
+    snprintf(err256, 256, "cannot open file");
+    delete s;
+    return nullptr;
+  }
+  if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+  s->n_threads = n_threads < 1 ? 1 : n_threads;
+  // pump until the full header (magic + text + refs) is decompressed
+  auto have = [&](size_t need) {
+    while (s->dbuf.size() < need && !s->file_eof)
+      if (!s->pump()) return false;
+    return s->dbuf.size() >= need;
+  };
+  if (!have(12) || memcmp(s->dbuf.data(), "BAM\1", 4) != 0) {
+    snprintf(err256, 256, "%s",
+             s->failed ? s->error : "bad BAM magic");
+    fclose(s->f);
+    delete s;
+    return nullptr;
+  }
+  int32_t l_text;
+  memcpy(&l_text, s->dbuf.data() + 4, 4);
+  size_t off = 8 + (size_t)l_text;
+  if (!have(off + 4)) goto trunc;
+  memcpy(&s->n_refs, s->dbuf.data() + off, 4);
+  off += 4;
+  for (int i = 0; i < s->n_refs; i++) {
+    if (!have(off + 4)) goto trunc;
+    int32_t l_name;
+    memcpy(&l_name, s->dbuf.data() + off, 4);
+    off += 4;
+    if (!have(off + (size_t)l_name + 4)) goto trunc;
+    s->ref_names.append((const char*)s->dbuf.data() + off, (size_t)l_name);
+    off += (size_t)l_name;
+    int32_t l_ref;
+    memcpy(&l_ref, s->dbuf.data() + off, 4);
+    s->ref_lens.push_back(l_ref);
+    off += 4;
+  }
+  s->dbuf.erase(s->dbuf.begin(), s->dbuf.begin() + (ptrdiff_t)off);
+  return s;
+trunc:
+  snprintf(err256, 256, "%s",
+           s->failed ? s->error : "truncated BAM header");
+  fclose(s->f);
+  delete s;
+  return nullptr;
+}
+
+// Next chunk of up to max_records records; out->n == 0 at clean EOF;
+// out->error set on failure.  Chunk boundaries fall between records only.
+extern "C" BamSoA* seeksv_bam_next(BamStream* s, int64_t max_records) {
+  BamSoA* out = (BamSoA*)calloc(1, sizeof(BamSoA));
+  std::vector<const uint8_t*> rec_ptrs;
+  size_t pos = 0;
+  for (;;) {
+    // parse complete records currently buffered
+    while ((int64_t)rec_ptrs.size() < max_records) {
+      if (pos + 4 > s->dbuf.size()) break;
+      int32_t bs;
+      memcpy(&bs, s->dbuf.data() + pos, 4);
+      if (bs < 32) return fail(out, "corrupt BAM record");
+      if (pos + 4 + (size_t)bs > s->dbuf.size()) break;
+      rec_ptrs.push_back(s->dbuf.data() + pos);
+      pos += 4 + (size_t)bs;
+    }
+    if ((int64_t)rec_ptrs.size() >= max_records || s->file_eof) break;
+    // need more bytes; pumping reallocates dbuf -> record offsets, not
+    // pointers, must survive: rebase after pump
+    std::vector<size_t> offs;
+    offs.reserve(rec_ptrs.size());
+    for (const uint8_t* r : rec_ptrs) offs.push_back((size_t)(r - s->dbuf.data()));
+    if (!s->pump()) return fail(out, s->error);
+    rec_ptrs.clear();
+    for (size_t o : offs) rec_ptrs.push_back(s->dbuf.data() + o);
+  }
+  if (s->file_eof && rec_ptrs.empty() && pos < s->dbuf.size())
+    return fail(out, "truncated BAM record at EOF");
+  out->n_refs = s->n_refs;
+  out->ref_lens = (int32_t*)malloc(4 * (s->n_refs ? s->n_refs : 1));
+  memcpy(out->ref_lens, s->ref_lens.data(), 4 * (size_t)s->n_refs);
+  out->ref_names_len = (int64_t)s->ref_names.size();
+  out->ref_names = (uint8_t*)malloc(s->ref_names.size() ? s->ref_names.size() : 1);
+  memcpy(out->ref_names, s->ref_names.data(), s->ref_names.size());
+  fill_records(rec_ptrs, out, s->n_threads);
+  s->dbuf.erase(s->dbuf.begin(), s->dbuf.begin() + (ptrdiff_t)pos);
+  return out;
+}
+
+extern "C" void seeksv_bam_close(BamStream* s) {
+  if (!s) return;
+  if (s->f) fclose(s->f);
+  delete s;
 }
 
 // Coverage accumulation: diff[start] += w; diff[end] -= w over segments.

@@ -124,6 +124,11 @@ def main(argv=None) -> int:
     pr.add_argument("--rescue", action="store_true")
     pr.add_argument("--profile", default=None, dest="profile_dir",
                     help="write a JAX profiler trace to this directory")
+    pr.add_argument("--stream", action="store_true",
+                    help="bounded-memory ingestion: decode each BAM once "
+                         "in chunks (pipeline.stream)")
+    pr.add_argument("--chunk-records", type=int, default=2_000_000,
+                    help="records per decode slab with --stream")
     pr.add_argument("ref_fa")
     pr.add_argument("bam")
     pi = sub.add_parser("index", help="build a .bai index (samtools-index role)")
@@ -209,13 +214,21 @@ def main(argv=None) -> int:
             align_fastq_to_sam(args.ref_fa, args.reads_fq, args.out_sam,
                                min_seed_len=args.min_seed_len)
     elif args.cmd == "run":
-        from .pipeline.driver import run_pipeline
-        run_pipeline(args.ref_fa, args.bam, args.prefix,
-                     normal_bam=args.normal, rescue=args.rescue,
-                     profile_dir=args.profile_dir,
-                     device_seed=args.device_seed,
-                     device_align=args.device_align,
-                     log=lambda *a: print(*a, file=sys.stderr))
+        if args.stream:
+            from .pipeline.stream import run_pipeline_streaming
+            run_pipeline_streaming(
+                args.ref_fa, args.bam, args.prefix,
+                chunk_records=args.chunk_records, normal_bam=args.normal,
+                device_seed=args.device_seed, device_align=args.device_align,
+                log=lambda *a: print(*a, file=sys.stderr))
+        else:
+            from .pipeline.driver import run_pipeline
+            run_pipeline(args.ref_fa, args.bam, args.prefix,
+                         normal_bam=args.normal, rescue=args.rescue,
+                         profile_dir=args.profile_dir,
+                         device_seed=args.device_seed,
+                         device_align=args.device_align,
+                         log=lambda *a: print(*a, file=sys.stderr))
     elif args.cmd == "index":
         from .io.bai import build_index
         print(build_index(args.bam), file=sys.stderr)

@@ -335,6 +335,220 @@ def read_bam_python(path: str) -> BamRecords:
     )
 
 
+class _PyRecordParser:
+    """Incremental BAM record parser shared by the whole-file and chunked
+    python decoders: accumulates SoA columns, emits BamRecords batches."""
+
+    def __init__(self, ref_names, ref_lens):
+        self.ref_names = ref_names
+        self.ref_lens = ref_lens
+        self.reset()
+
+    def reset(self):
+        self.flags = []
+        self.tids = []
+        self.poss = []
+        self.mapqs = []
+        self.mtids = []
+        self.mposs = []
+        self.isizes = []
+        self.lqs = []
+        self.qnames: List[bytes] = []
+        self.cig_parts: List[np.ndarray] = []
+        self.cig_counts: List[int] = []
+        self.seq_parts: List[np.ndarray] = []
+        self.qual_parts: List[np.ndarray] = []
+        self.xcs: List[int] = []
+
+    def __len__(self):
+        return len(self.flags)
+
+    def parse(self, blob: bytes, off: int, max_records: int) -> int:
+        """Parses complete records from blob[off:] until max_records total
+        are buffered or bytes run out; returns the new offset."""
+        mv = memoryview(blob)
+        n_total = len(blob)
+        while len(self.flags) < max_records and off + 4 <= n_total:
+            (block_size,) = struct.unpack_from("<i", blob, off)
+            end = off + 4 + block_size
+            if end > n_total:
+                break
+            off += 4
+            (tid, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq, mtid,
+             mpos, tlen) = struct.unpack_from("<iiBBHHHiiii", blob, off)
+            p = off + 32
+            self.qnames.append(bytes(mv[p:p + l_read_name - 1]))
+            p += l_read_name
+            cig = np.frombuffer(blob, dtype="<u4", count=n_cigar, offset=p)
+            p += 4 * n_cigar
+            npk = (l_seq + 1) // 2
+            packed = np.frombuffer(blob, dtype=np.uint8, count=npk, offset=p)
+            seq_ascii = _NIB2[packed].reshape(-1)[:l_seq]
+            p += npk
+            qual = np.frombuffer(blob, dtype=np.uint8, count=l_seq, offset=p)
+            p += l_seq
+            self.xcs.append(_aux_xc(mv[p:end]) if end > p else 0)
+            self.flags.append(flag)
+            self.tids.append(tid)
+            self.poss.append(pos)
+            self.mapqs.append(mapq)
+            self.mtids.append(mtid)
+            self.mposs.append(mpos)
+            self.isizes.append(tlen)
+            self.lqs.append(l_seq)
+            self.cig_parts.append(cig.copy())
+            self.cig_counts.append(n_cigar)
+            self.seq_parts.append(seq_ascii)
+            self.qual_parts.append(qual.copy())
+            off = end
+        return off
+
+    def emit(self) -> BamRecords:
+        n = len(self.flags)
+        cig_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(self.cig_counts, out=cig_off[1:])
+        seq_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(self.lqs, out=seq_off[1:])
+        recs = BamRecords(
+            ref_names=self.ref_names, ref_lens=self.ref_lens, n=n,
+            flag=np.asarray(self.flags, np.int32),
+            tid=np.asarray(self.tids, np.int32),
+            pos=np.asarray(self.poss, np.int32),
+            mapq=np.asarray(self.mapqs, np.int32),
+            mtid=np.asarray(self.mtids, np.int32),
+            mpos=np.asarray(self.mposs, np.int32),
+            isize=np.asarray(self.isizes, np.int32),
+            l_qseq=np.asarray(self.lqs, np.int32),
+            qnames=self.qnames,
+            cig=(np.concatenate(self.cig_parts) if self.cig_parts
+                 else np.zeros(0, np.uint32)),
+            cig_off=cig_off,
+            seq=(np.concatenate(self.seq_parts) if self.seq_parts
+                 else np.zeros(0, np.uint8)),
+            qual=(np.concatenate(self.qual_parts) if self.qual_parts
+                  else np.zeros(0, np.uint8)),
+            seq_off=seq_off,
+            xc=np.asarray(self.xcs, np.int32),
+        )
+        self.reset()
+        return recs
+
+
+def iter_bam_chunks_python(path: str, chunk_records: int):
+    """Pure-python fallback of io.native.iter_bam_chunks_native: streams
+    BGZF members through zlib, parses complete records incrementally, and
+    yields BamRecords slabs of up to chunk_records records."""
+    READ_WINDOW = 4 << 20
+    with open(path, "rb") as f:
+        d = zlib.decompressobj(wbits=31)
+        buf = bytearray()
+        pos = 0
+        file_eof = False
+
+        def pump() -> bool:
+            nonlocal d, file_eof
+            raw = f.read(READ_WINDOW)
+            if not raw:
+                file_eof = True
+                return False
+            data = raw
+            while data:
+                buf.extend(d.decompress(data))
+                data = d.unused_data
+                if not data and d.eof:
+                    d = zlib.decompressobj(wbits=31)
+                    break
+                if data:
+                    d = zlib.decompressobj(wbits=31)
+            return True
+
+        def have(need: int) -> bool:
+            while len(buf) - pos < need and not file_eof:
+                pump()
+            return len(buf) - pos >= need
+
+        if not have(12) or bytes(buf[pos:pos + 4]) != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file")
+        (l_text,) = struct.unpack_from("<i", buf, pos + 4)
+        if not have(12 + l_text):
+            raise ValueError(f"{path}: truncated BAM header")
+        pos += 8 + l_text
+        (n_ref,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        ref_names, ref_lens = [], []
+        for _ in range(n_ref):
+            if not have(8):
+                raise ValueError(f"{path}: truncated BAM header")
+            (l_name,) = struct.unpack_from("<i", buf, pos)
+            if not have(8 + l_name):
+                raise ValueError(f"{path}: truncated BAM header")
+            pos += 4
+            ref_names.append(bytes(buf[pos:pos + l_name - 1]).decode())
+            pos += l_name
+            (l_ref,) = struct.unpack_from("<i", buf, pos)
+            pos += 4
+            ref_lens.append(l_ref)
+        del buf[:pos]
+        pos = 0
+
+        parser = _PyRecordParser(ref_names, ref_lens)
+        while True:
+            pos = parser.parse(bytes(buf), pos, chunk_records)
+            if len(parser) >= chunk_records:
+                del buf[:pos]
+                pos = 0
+                yield parser.emit()
+                continue
+            if file_eof or not pump():
+                break
+        if pos < len(buf):
+            raise ValueError(f"{path}: truncated BAM record at EOF")
+        if len(parser):
+            yield parser.emit()
+
+
+def read_bam_chunks(path: str, chunk_records: int = 2_000_000):
+    """Chunked, bounded-memory BAM decode (native stream reader when
+    built, python fallback otherwise): yields BamRecords slabs of up to
+    chunk_records records in file order.  This is the framework's
+    streaming-ingestion contract — the explicit form of the reference's
+    per-chromosome flush memory bound (ref: clip_reads.h:423-446)."""
+    if path.endswith(".bam"):
+        try:
+            from . import native
+            if native.stream_available():
+                yield from native.iter_bam_chunks_native(path, chunk_records)
+                return
+        except ImportError:
+            pass
+        yield from iter_bam_chunks_python(path, chunk_records)
+        return
+    # SAM text: no BGZF framing; decode whole then slice (fallback only)
+    recs = read_sam_text(path)
+    for lo in range(0, max(recs.n, 1), chunk_records):
+        hi = min(lo + chunk_records, recs.n)
+        if hi > lo:
+            yield slice_records(recs, lo, hi)
+
+
+def slice_records(recs: BamRecords, lo: int, hi: int) -> BamRecords:
+    """Contiguous record-range view [lo, hi) of a BamRecords (payload
+    blobs sliced to the range; offsets rebased)."""
+    co0, co1 = int(recs.cig_off[lo]), int(recs.cig_off[hi])
+    so0, so1 = int(recs.seq_off[lo]), int(recs.seq_off[hi])
+    return BamRecords(
+        ref_names=recs.ref_names, ref_lens=recs.ref_lens, n=hi - lo,
+        flag=recs.flag[lo:hi], tid=recs.tid[lo:hi], pos=recs.pos[lo:hi],
+        mapq=recs.mapq[lo:hi], mtid=recs.mtid[lo:hi], mpos=recs.mpos[lo:hi],
+        isize=recs.isize[lo:hi], l_qseq=recs.l_qseq[lo:hi],
+        qnames=[recs.qnames[i] for i in range(lo, hi)],
+        cig=recs.cig[co0:co1], cig_off=recs.cig_off[lo:hi + 1] - co0,
+        seq=recs.seq[so0:so1], qual=recs.qual[so0:so1],
+        seq_off=recs.seq_off[lo:hi + 1] - so0,
+        xc=recs.xc[lo:hi], owner=recs.owner,
+    )
+
+
 def cigar_str_to_ops(cigar: str) -> np.ndarray:
     """'10M2S' -> bam-encoded uint32 ops ('*' -> empty)."""
     if cigar == "*":

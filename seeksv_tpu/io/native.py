@@ -105,6 +105,14 @@ def _load() -> Optional[ctypes.CDLL]:
                 if hasattr(lib, "seeksv_coverage_depth"):
                     lib.seeksv_coverage_depth.argtypes = \
                         lib.seeksv_coverage_diff.argtypes
+                if hasattr(lib, "seeksv_bam_open"):
+                    lib.seeksv_bam_open.restype = ctypes.c_void_p
+                    lib.seeksv_bam_open.argtypes = [
+                        ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p]
+                    lib.seeksv_bam_next.restype = ctypes.POINTER(_BamSoA)
+                    lib.seeksv_bam_next.argtypes = [ctypes.c_void_p,
+                                                    ctypes.c_int64]
+                    lib.seeksv_bam_close.argtypes = [ctypes.c_void_p]
                 if hasattr(lib, "seeksv_sw_extend_batch"):
                     p32 = ctypes.POINTER(ctypes.c_int32)
                     lib.seeksv_sw_extend_batch.argtypes = [
@@ -146,15 +154,11 @@ def _view(ptr, n, dtype):
     return np.ctypeslib.as_array(ptr, shape=(int(n),)).view(dtype)
 
 
-def read_bam_native(path: str, n_threads: int = 0):
-    from .bam import BamRecords
+def _soa_to_records(lib, h, path: str):
+    """Wrap a native BamSoA* handle as a BamRecords (zero-copy views; the
+    _Owner keeps the native buffers alive).  Raises on a set error field."""
+    from .bam import BamRecords, LazyQnames
 
-    from .bam import LazyQnames
-
-    lib = _load()
-    if lib is None:
-        raise RuntimeError("native library not built")
-    h = lib.seeksv_bam_decode(path.encode(), n_threads)
     s = h.contents
     if s.n == 0 and s.error and s.error != b"":
         err = s.error.decode()
@@ -183,6 +187,44 @@ def read_bam_native(path: str, n_threads: int = 0):
         xc=_view(s.xc, n, np.int32),
         owner=owner,
     )
+
+
+def read_bam_native(path: str, n_threads: int = 0):
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    h = lib.seeksv_bam_decode(path.encode(), n_threads)
+    return _soa_to_records(lib, h, path)
+
+
+def stream_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "seeksv_bam_open")
+
+
+def iter_bam_chunks_native(path: str, chunk_records: int,
+                           n_threads: int = 0):
+    """Bounded-memory chunked decode: yields BamRecords slabs of up to
+    chunk_records records, in file order (the streaming memory contract
+    the reference gets from per-chromosome flushes, clip_reads.h:423-446).
+    Peak footprint per chunk = one compressed read window + the
+    decompressed carry + the chunk's SoA buffers."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "seeksv_bam_open"):
+        raise RuntimeError("native stream reader not built")
+    err = ctypes.create_string_buffer(256)
+    s = lib.seeksv_bam_open(path.encode(), n_threads, err)
+    if not s:
+        raise IOError(f"{path}: {err.value.decode()}")
+    try:
+        while True:
+            h = lib.seeksv_bam_next(s, chunk_records)
+            recs = _soa_to_records(lib, h, path)
+            if recs.n == 0:
+                break
+            yield recs
+    finally:
+        lib.seeksv_bam_close(s)
 
 
 def sw_available() -> bool:

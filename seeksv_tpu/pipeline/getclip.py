@@ -164,6 +164,97 @@ def _write_chrom(chrom: str, bmap: BreakpointMap, orient: str, soft_out, fq_out)
         fq_out.write(f"@{cs}\n{cs}\n+\n{clipped_q.tobytes().decode()}\n")
 
 
+class GetclipStream:
+    """Incremental getclip over BamRecords slabs (io.bam.read_bam_chunks):
+    per-breakpoint maps, mate pairing, and the last-seen tid carry across
+    slab boundaries, so process(slab) in file order is exactly the
+    whole-file pass — this is the bounded-memory contract of the
+    reference's streaming loop (ref: clip_reads.h:363-446), with the
+    chromosome flush happening at real tid changes only (slab boundaries
+    inside a chromosome do NOT flush)."""
+
+    def __init__(self, prefix: str, threshold: float = 0.85,
+                 min_mapq: int = 20, save_low_quality: bool = False):
+        self.threshold = threshold
+        self.min_mapq = min_mapq
+        self.save_low_quality = save_low_quality
+        self.soft_out = gzip.open(f"{prefix}.clip.gz", "wt", compresslevel=1)
+        self.fq_out = gzip.open(f"{prefix}.clip.fq.gz", "wt", compresslevel=1)
+        self.un1 = gzip.open(f"{prefix}.unmapped_1.fq.gz", "wt",
+                             compresslevel=1)
+        self.un2 = gzip.open(f"{prefix}.unmapped_2.fq.gz", "wt",
+                             compresslevel=1)
+        self.left_map = BreakpointMap()
+        self.right_map = BreakpointMap()
+        self.id2seq_qual: Dict[bytes, Tuple[Tuple[bytes, bytes], str]] = {}
+        self.last_tid = 0
+        self.ref_names: List[str] = []
+
+    def _flush(self, tid: int) -> None:
+        chrom = (self.ref_names[tid] if 0 <= tid < len(self.ref_names)
+                 else str(tid))
+        _write_chrom(chrom, self.left_map, "5", self.soft_out, self.fq_out)
+        _write_chrom(chrom, self.right_map, "3", self.soft_out, self.fq_out)
+        self.left_map.by_pos.clear()
+        self.right_map.by_pos.clear()
+
+    def process(self, recs: BamRecords) -> None:
+        self.ref_names = recs.ref_names
+        # ---- vectorized classification over the slab ----
+        flag = recs.flag
+        unmapped_any = (flag & (FUNMAP | FMUNMAP)) != 0
+        mapped = ~unmapped_any
+        first_op = recs.first_op()
+        last_op = recs.last_op()
+        has_hard = (first_op == OP_H) | (last_op == OP_H)
+        clip_candidate = (mapped & ~has_hard
+                          & ((first_op == OP_S) | (last_op == OP_S))
+                          & (recs.mapq >= self.min_mapq)
+                          & ((flag & FDUP) == 0))
+        first_len = recs.first_len()
+        last_len = recs.last_len()
+        map_len = _map_len_no_x(recs)
+
+        # Python only touches the sparse interesting subsets; the streaming
+        # loop's semantics are reproduced from the vectorized tid-run view:
+        #   - unmapped records pair mates in BAM order,
+        #   - mapped records form contiguous tid runs (coordinate-sorted
+        #     BAM); each run boundary triggers a flush and DROPS the first
+        #     mapped record of the new run (the reference's else-branch
+        #     quirk, clip_reads.h:423-438) — except a leading tid-0 run
+        #     (last_tid starts at 0).
+        for i in np.nonzero(unmapped_any)[0]:
+            _store_unmapped(recs, int(i), self.id2seq_qual, self.un1,
+                            self.un2)
+
+        mapped_idx = np.nonzero(mapped)[0]
+        if len(mapped_idx):
+            mtids = recs.tid[mapped_idx]
+            run_starts = np.concatenate(
+                [[0], np.nonzero(mtids[1:] != mtids[:-1])[0] + 1,
+                 [len(mtids)]])
+            for r in range(len(run_starts) - 1):
+                s, e = int(run_starts[r]), int(run_starts[r + 1])
+                tid = int(mtids[s])
+                if tid != self.last_tid:
+                    self._flush(self.last_tid)
+                    self.last_tid = tid
+                    s += 1  # quirk: flush-triggering record is dropped
+                run = mapped_idx[s:e]
+                for i in run[clip_candidate[run]]:
+                    _get_sclip_read(recs, int(i), self.left_map,
+                                    self.right_map, self.threshold,
+                                    self.save_low_quality, first_op, last_op,
+                                    first_len, last_len, map_len)
+
+    def close(self) -> None:
+        self._flush(self.last_tid)
+        self.soft_out.close()
+        self.fq_out.close()
+        self.un1.close()
+        self.un2.close()
+
+
 def getclip(bam_path: str, prefix: str, threshold: float = 0.85,
             min_mapq: int = 20, save_low_quality: bool = False,
             recs: BamRecords | None = None) -> None:
@@ -179,73 +270,9 @@ def getclip(bam_path: str, prefix: str, threshold: float = 0.85,
         (merge at exactly 17/20 = 0.85, reject at 11/13 = 0.846)."""
     if recs is None:
         recs = read_bam(bam_path)
-
-    soft_out = gzip.open(f"{prefix}.clip.gz", "wt", compresslevel=1)
-    fq_out = gzip.open(f"{prefix}.clip.fq.gz", "wt", compresslevel=1)
-    un1 = gzip.open(f"{prefix}.unmapped_1.fq.gz", "wt", compresslevel=1)
-    un2 = gzip.open(f"{prefix}.unmapped_2.fq.gz", "wt", compresslevel=1)
-
-    # ---- vectorized classification over all records ----
-    flag = recs.flag
-    unmapped_any = (flag & (FUNMAP | FMUNMAP)) != 0
-    mapped = ~unmapped_any
-    first_op = recs.first_op()
-    last_op = recs.last_op()
-    has_hard = (first_op == OP_H) | (last_op == OP_H)
-    soft_first = first_op == OP_S
-    soft_last = last_op == OP_S
-    clip_candidate = (mapped & ~has_hard & (soft_first | soft_last)
-                      & (recs.mapq >= min_mapq) & ((flag & FDUP) == 0))
-
-    left_map = BreakpointMap()
-    right_map = BreakpointMap()
-    id2seq_qual: Dict[bytes, Tuple[Tuple[bytes, bytes], str]] = {}
-
-    first_len = recs.first_len()
-    last_len = recs.last_len()
-    map_len = _map_len_no_x(recs)
-
-    def flush(tid):
-        chrom = recs.ref_names[tid] if 0 <= tid < len(recs.ref_names) else str(tid)
-        _write_chrom(chrom, left_map, "5", soft_out, fq_out)
-        _write_chrom(chrom, right_map, "3", soft_out, fq_out)
-        left_map.by_pos.clear()
-        right_map.by_pos.clear()
-
-    # Python only touches the sparse interesting subsets; the streaming
-    # loop's semantics are reproduced from the vectorized tid-run view:
-    #   - unmapped records pair mates in BAM order,
-    #   - mapped records form contiguous tid runs (coordinate-sorted BAM);
-    #     each run boundary triggers a flush and DROPS the first mapped
-    #     record of the new run (the reference's else-branch quirk,
-    #     clip_reads.h:423-438) — except a leading tid-0 run (last_tid
-    #     starts at 0).
-    for i in np.nonzero(unmapped_any)[0]:
-        _store_unmapped(recs, int(i), id2seq_qual, un1, un2)
-
-    mapped_idx = np.nonzero(mapped)[0]
-    last_tid = 0
-    if len(mapped_idx):
-        mtids = recs.tid[mapped_idx]
-        run_starts = np.concatenate(
-            [[0], np.nonzero(mtids[1:] != mtids[:-1])[0] + 1, [len(mtids)]])
-        for r in range(len(run_starts) - 1):
-            s, e = int(run_starts[r]), int(run_starts[r + 1])
-            tid = int(mtids[s])
-            if tid != last_tid:
-                flush(last_tid)
-                last_tid = tid
-                s += 1  # quirk: flush-triggering record is dropped
-            run = mapped_idx[s:e]
-            for i in run[clip_candidate[run]]:
-                _get_sclip_read(recs, int(i), left_map, right_map, threshold,
-                                save_low_quality, first_op, last_op,
-                                first_len, last_len, map_len)
-    flush(last_tid)
-    soft_out.close()
-    fq_out.close()
-    un1.close()
-    un2.close()
+    stream = GetclipStream(prefix, threshold, min_mapq, save_low_quality)
+    stream.process(recs)
+    stream.close()
 
 
 def _map_len_no_x(recs: BamRecords) -> np.ndarray:

@@ -454,17 +454,22 @@ class DiscordantCounter:
     slice + boolean reductions — the same structure used for the sharded
     TPU path (windowed gathers instead of index seeks)."""
 
-    def __init__(self, recs: BamRecords, min_mapq: int, mean_insert: int,
+    def __init__(self, recs, min_mapq: int, mean_insert: int,
                  deviation: int, times: int, skip_hard_clip: bool = True):
         self.recs = recs
         self.name2tid = {n: i for i, n in enumerate(recs.ref_names)}
         self.ref_lens = recs.ref_lens
         self.min_insert = max(0, mean_insert - deviation * times)
         self.max_insert = mean_insert + deviation * times
-        first_op = recs.first_op()
-        last_op = recs.last_op()
-        has_cigar = recs.cig_off[1:] > recs.cig_off[:-1]
-        hard = has_cigar & ((first_op == OP_H) | (last_op == OP_H))
+        if hasattr(recs, "hard"):  # stream.LightBam: precomputed columns
+            hard = recs.hard
+            end = recs.end
+        else:
+            first_op = recs.first_op()
+            last_op = recs.last_op()
+            has_cigar = recs.cig_off[1:] > recs.cig_off[:-1]
+            hard = has_cigar & ((first_op == OP_H) | (last_op == OP_H))
+            end = recs.pos + recs.ref_span(count_x=True)  # bam_calend
         flag = recs.flag
         isize = recs.isize
         fwd = (flag & FREVERSE) == 0
@@ -477,7 +482,7 @@ class DiscordantCounter:
         if skip_hard_clip:
             base &= ~hard
         self.base_ok = np.asarray(base)
-        self.end = recs.pos + recs.ref_span(count_x=True)  # bam_calend
+        self.end = end
         # per-tid sorted views (BAM is coordinate sorted)
         self.tid_ranges: Dict[int, Tuple[int, int]] = {}
         # per-tid max reference span: a record at pos p can only overlap
@@ -827,8 +832,12 @@ def getsv(clip_sam: str, original_bam: str, clipfile: str, sv_out: str,
           filtered_out=None, recs: Optional[BamRecords] = None,
           rescue: bool = False, rescue_mode: bool = True,
           min_one_side_clip: int = 5, max_repeat_depth: int = 500,
-          log=lambda *a: None) -> None:
-    """Full getsv pass (ref CallGetsv, seeksv.cpp:157-364)."""
+          stats=None, log=lambda *a: None) -> None:
+    """Full getsv pass (ref CallGetsv, seeksv.cpp:157-364).
+
+    stats: a pipeline.stream.StreamStats accumulated over the original
+    BAM — the bounded-memory path: insert-size/coverage/discordant inputs
+    come from the single streaming pass instead of re-decoding the BAM."""
     if filtered_out is None:
         filtered_out = sys.stdout
     jmap = JunctionMap()
@@ -852,11 +861,19 @@ def getsv(clip_sam: str, original_bam: str, clipfile: str, sv_out: str,
     log("'InputSoftInfoStoreBreakpoint' finished")
     merge_junction(jmap, flank)
 
-    if recs is None:
-        recs = read_bam(original_bam)
+    if stats is not None:
+        recs = stats.light()
+        cov = stats.coverage() if output_depth else None
+    else:
+        cov = None
+        if recs is None:
+            recs = read_bam(original_bam)
 
     if read_pair_used >= 100_000:
-        mean, dev = calculate_insert_size(recs, min_mapq, read_pair_used)
+        if stats is not None:
+            mean, dev = stats.insert_size()
+        else:
+            mean, dev = calculate_insert_size(recs, min_mapq, read_pair_used)
         log(f"Mean insert size: {mean}; deviation: {dev}")
         counter = DiscordantCounter(recs, min_mapq, mean, dev, times)
         for j, o in jmap.items:
@@ -867,7 +884,7 @@ def getsv(clip_sam: str, original_bam: str, clipfile: str, sv_out: str,
 
     depth = None
     if output_depth:
-        depth = DepthQuery(recs, min_mapq)
+        depth = DepthQuery(recs, min_mapq, cov=cov)
         log("'main_depth' finished")
     else:
         frequency = 0.0  # ref: seeksv.cpp:298-301

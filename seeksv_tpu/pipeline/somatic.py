@@ -91,15 +91,23 @@ def somatic(normal_bam: str, normal_clip_gz: str, tumor_sv: str,
             out_path: str, *, min_map_rate: float = 0.85, min_mapq: int = 20,
             offset: int = 30, min_len_of_clipped_seq: int = 10,
             read_pair_used: int = 5_000_000, times: int = 4,
-            recs: Optional[BamRecords] = None) -> None:
+            recs: Optional[BamRecords] = None, stats=None) -> None:
     """ref CallSomatic (seeksv.cpp:366-410) +
-    ReadTumorFileAndOutputSomaticInfo (somatic.cpp:14-427)."""
+    ReadTumorFileAndOutputSomaticInfo (somatic.cpp:14-427).
+
+    stats: a pipeline.stream.StreamStats over the normal BAM (the
+    bounded-memory path; avoids re-decoding the normal BAM here)."""
     clip3, clip5 = read_clip_reads(normal_clip_gz, min_len_of_clipped_seq)
-    if recs is None:
-        recs = read_bam(normal_bam)
     mean = dev = 0
-    if read_pair_used >= 100_000:
-        mean, dev = calculate_insert_size(recs, min_mapq, read_pair_used)
+    if stats is not None:
+        recs = stats.light()
+        if read_pair_used >= 100_000:
+            mean, dev = stats.insert_size()
+    else:
+        if recs is None:
+            recs = read_bam(normal_bam)
+        if read_pair_used >= 100_000:
+            mean, dev = calculate_insert_size(recs, min_mapq, read_pair_used)
     counter = DiscordantCounter(recs, min_mapq, mean, dev, times)
 
     fout = open(out_path, "w")

@@ -1,0 +1,223 @@
+"""Streaming, bounded-memory pipeline execution.
+
+The reference bounds getclip memory with per-chromosome flushes
+(ref: clip_reads.h:423-446) but getsv still random-accesses the whole
+original BAM through the BAI index (getsv.cpp:1027 bam_iter_query,
+bam2depth.cpp:75 pileup).  This module is the framework's explicit memory
+contract for whole-genome scale: the BAM is decoded ONCE in bounded slabs
+(io.bam.read_bam_chunks) and every consumer of the original records is fed
+from that single pass —
+
+  * getclip         -> pipeline.getclip.GetclipStream (slab-incremental),
+  * insert-size     -> first-N proper-pair accumulation (cluster.cpp:15-83),
+  * depth           -> per-tid coverage diff accumulation (bam2depth.cpp:75),
+  * discordant pairs-> compact per-record columns (LightBam) retained in
+                       RAM: ~26 bytes/record instead of the full record
+                       (~2 bytes/base seq+qual + cigars + qnames), a >10x
+                       reduction that makes 30x whole-genome runs fit.
+
+Peak RSS = decode slab (chunk_records full records) + coverage arrays
+(4 bytes/ref bp) + LightBam columns (~26 bytes/record) + getclip's live
+per-chromosome breakpoint maps.  Parity: stream-vs-whole byte equality is
+asserted by tests/test_stream.py at adversarial slab sizes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..io.bam import (BamRecords, FDUP, FPAIRED, FPROPER_PAIR, OP_H,
+                      read_bam_chunks)
+from .getsv import depth_segments
+
+
+@dataclass
+class LightBam:
+    """Compact column view of a whole BAM: exactly the fields
+    DiscordantCounter needs (ref FindDiscordantReadPairs inputs,
+    getsv.cpp:990-1120), with `end` (bam_calend) and `hard` (leading or
+    trailing hard clip) precomputed from the cigars during streaming so
+    the cigars themselves need not be retained."""
+    ref_names: List[str]
+    ref_lens: List[int]
+    n: int
+    pos: np.ndarray     # int32
+    mpos: np.ndarray    # int32
+    mtid: np.ndarray    # int32
+    l_qseq: np.ndarray  # int32
+    flag: np.ndarray    # uint16
+    mapq: np.ndarray    # uint8
+    isize: np.ndarray   # int32
+    tid: np.ndarray     # int32
+    end: np.ndarray     # int32: pos + ref_span (bam_calend)
+    hard: np.ndarray    # bool
+
+
+class StreamStats:
+    """Single-pass accumulator over BamRecords slabs for everything getsv
+    and somatic need from the original BAM (see module docstring).
+    process() every slab in file order, then finalize() once."""
+
+    def __init__(self, min_mapq: int, read_pair_used: int):
+        self.min_mapq = min_mapq
+        self.read_pair_used = read_pair_used
+        self._isize_parts: List[np.ndarray] = []
+        self._isize_count = 0
+        self._cov_diff: Dict[int, np.ndarray] = {}
+        self._cols: Dict[str, List[np.ndarray]] = {
+            k: [] for k in ("pos", "mpos", "mtid", "l_qseq", "flag", "mapq",
+                            "isize", "tid", "end", "hard")}
+        self.ref_names: List[str] = []
+        self.ref_lens: List[int] = []
+        self.n = 0
+
+    def process(self, recs: BamRecords) -> None:
+        self.ref_names = recs.ref_names
+        self.ref_lens = list(recs.ref_lens)
+        self.n += recs.n
+
+        first_op = recs.first_op()
+        last_op = recs.last_op()
+        has_cigar = recs.cig_off[1:] > recs.cig_off[:-1]
+        hard = has_cigar & ((first_op == OP_H) | (last_op == OP_H))
+
+        # insert-size model: first N qualifying records in file order
+        # (ref: cluster.cpp:25-56)
+        if self._isize_count < self.read_pair_used:
+            ok = ((recs.mapq >= self.min_mapq)
+                  & ((recs.flag & FPAIRED) != 0)
+                  & ((recs.flag & FPROPER_PAIR) != 0)
+                  & ((recs.flag & FDUP) == 0) & (recs.isize > 0) & ~hard)
+            vals = recs.isize[ok]
+            self._isize_parts.append(np.asarray(vals, np.int32))
+            self._isize_count += len(vals)
+
+        # coverage diffs per tid (ref: bam2depth.cpp:75-129)
+        seg_start, seg_end, seg_tid = depth_segments(recs, self.min_mapq)
+        from ..io.native import coverage_diff
+        for t in np.unique(seg_tid):
+            t = int(t)
+            L = int(recs.ref_lens[t])
+            sel = seg_tid == t
+            d = coverage_diff(seg_start[sel], seg_end[sel],
+                              np.ones(int(sel.sum()), np.int32), L)
+            acc = self._cov_diff.get(t)
+            if acc is None:
+                self._cov_diff[t] = d
+            else:
+                acc += d
+
+        # compact discordant-counting columns.  NOTE: explicit copies — the
+        # slab's arrays are zero-copy views into the native decoder's
+        # buffers, which are freed when the slab is dropped after this call.
+        c = self._cols
+        c["pos"].append(np.array(recs.pos, np.int32, copy=True))
+        c["mpos"].append(np.array(recs.mpos, np.int32, copy=True))
+        c["mtid"].append(np.array(recs.mtid, np.int32, copy=True))
+        c["l_qseq"].append(np.array(recs.l_qseq, np.int32, copy=True))
+        c["flag"].append(recs.flag.astype(np.uint16))
+        c["mapq"].append(recs.mapq.astype(np.uint8))
+        c["isize"].append(np.array(recs.isize, np.int32, copy=True))
+        c["tid"].append(np.array(recs.tid, np.int32, copy=True))
+        c["end"].append((recs.pos
+                         + recs.ref_span(count_x=True)).astype(np.int32))
+        c["hard"].append(hard)
+
+    def insert_size(self) -> Tuple[int, int]:
+        """Exact calculate_insert_size semantics over the accumulated
+        first-N values (integer mean, truncated-int deviation;
+        ref: cluster.cpp:15-83)."""
+        import math
+        if self._isize_parts:
+            vals = np.concatenate(self._isize_parts)[:self.read_pair_used]
+        else:
+            vals = np.zeros(0, np.int32)
+        if len(vals) == 0:
+            return 0, 0
+        vals = vals.astype(np.int64)
+        mean = int(vals.sum() // len(vals))
+        dev = int(math.sqrt(
+            float(((vals - mean).astype(np.float64) ** 2).sum()) / len(vals)))
+        return mean, dev
+
+    def coverage(self) -> Dict[int, np.ndarray]:
+        """Per-tid depth arrays (= pipeline.getsv.compute_coverage on the
+        whole file)."""
+        out: Dict[int, np.ndarray] = {}
+        for t in range(len(self.ref_names)):
+            L = int(self.ref_lens[t])
+            d = self._cov_diff.get(t)
+            if d is None:
+                out[t] = np.zeros(L, np.int32)
+            else:
+                out[t] = np.cumsum(d, dtype=np.int32)[:L]
+        return out
+
+    def light(self) -> LightBam:
+        c = {k: (np.concatenate(v) if v else
+                 np.zeros(0, dict(flag=np.uint16, mapq=np.uint8,
+                                  hard=bool).get(k, np.int32)))
+             for k, v in self._cols.items()}
+        return LightBam(self.ref_names, self.ref_lens, self.n,
+                        c["pos"], c["mpos"], c["mtid"], c["l_qseq"],
+                        c["flag"], c["mapq"], c["isize"], c["tid"],
+                        c["end"], c["hard"])
+
+
+def scan_bam(bam_path: str, chunk_records: int,
+             consumers: list) -> None:
+    """One decode pass feeding every consumer (objects with .process(recs));
+    slabs are dropped after each round, bounding memory to one slab +
+    consumer state."""
+    for recs in read_bam_chunks(bam_path, chunk_records):
+        for cns in consumers:
+            cns.process(recs)
+
+
+def run_pipeline_streaming(ref_fa: str, bam: str, prefix: str, *,
+                           chunk_records: int = 2_000_000,
+                           normal_bam: Optional[str] = None,
+                           min_mapq: int = 20,
+                           read_pair_used: int = 5_000_000,
+                           device_seed: bool = False,
+                           device_align: bool = False,
+                           filtered_out=None,
+                           log=lambda *a: None) -> None:
+    """The full pipeline with bounded-memory ingestion: each BAM is
+    decoded exactly once in chunk_records slabs; getclip and the getsv
+    statistics share that single pass (the reference reads the tumor BAM
+    three times: getclip stream + discordant index scans + depth pileup)."""
+    import io
+    import time
+
+    from .driver import realign_clips
+    from .getclip import GetclipStream
+    from .getsv import getsv
+    from .somatic import somatic, somatic_filter
+
+    t0 = time.time()
+    gstream = GetclipStream(prefix)
+    stats = StreamStats(min_mapq, read_pair_used)
+    scan_bam(bam, chunk_records, [gstream, stats])
+    gstream.close()
+    log(f"[{time.time()-t0:.2f}s] streaming getclip+stats done "
+        f"({stats.n:,} records)")
+    realign_clips(ref_fa, f"{prefix}.clip.fq.gz", f"{prefix}.clip.sam",
+                  device_seed=device_seed, device_align=device_align)
+    log(f"[{time.time()-t0:.2f}s] realignment done")
+    getsv(f"{prefix}.clip.sam", bam, f"{prefix}.clip.gz", f"{prefix}.sv",
+          f"{prefix}.unmapped.clip.fq", stats=stats,
+          filtered_out=filtered_out or io.StringIO(), log=log)
+    log(f"[{time.time()-t0:.2f}s] getsv done -> {prefix}.sv")
+    if normal_bam:
+        nprefix = f"{prefix}.normal"
+        ngstream = GetclipStream(nprefix)
+        nstats = StreamStats(min_mapq, read_pair_used)
+        scan_bam(normal_bam, chunk_records, [ngstream, nstats])
+        ngstream.close()
+        somatic(normal_bam, f"{nprefix}.clip.gz", f"{prefix}.sv",
+                f"{prefix}.somatic.temp.sv", stats=nstats)
+        somatic_filter(f"{prefix}.somatic.temp.sv", f"{prefix}.somatic.sv")
+        log(f"[{time.time()-t0:.2f}s] somatic done -> {prefix}.somatic.sv")
