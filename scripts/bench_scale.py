@@ -73,7 +73,8 @@ def build_dataset(root, G, cov, read_len, seed, n_events, with_repeats):
     open(done, "w").close()
 
 
-def run_ours(root, out_dir):
+def run_ours(root, out_dir, stream=False, chunk_records=2_000_000,
+             device_align=False):
     import io as _io
 
     from seeksv_tpu.io.bam import read_bam
@@ -84,21 +85,37 @@ def run_ours(root, out_dir):
     prefix = os.path.join(out_dir, "ours")
     stages = {}
     t0 = time.time()
-    recs = read_bam(bam)
-    stages["read_bam"] = time.time() - t0
+    if stream:
+        from seeksv_tpu.pipeline.getclip import GetclipStream
+        from seeksv_tpu.pipeline.stream import StreamStats, scan_bam
+        gs = GetclipStream(prefix)
+        stats = StreamStats(20, 5_000_000)
+        scan_bam(bam, chunk_records, [gs, stats])
+        gs.close()
+        n = stats.n
+        stages["getclip_stream"] = time.time() - t0
+        recs, stats_arg = None, stats
+    else:
+        recs = read_bam(bam)
+        stages["read_bam"] = time.time() - t0
+        t = time.time()
+        getclip(bam, prefix, recs=recs)
+        stages["getclip"] = time.time() - t
+        n = recs.n
+        stats_arg = None
     t = time.time()
-    getclip(bam, prefix, recs=recs)
-    stages["getclip"] = time.time() - t
-    t = time.time()
-    realign_clips(os.path.join(root, "ref.fa"), f"{prefix}.clip.fq.gz",
-                  f"{prefix}.clip.sam")
+    aligner = realign_clips(os.path.join(root, "ref.fa"),
+                            f"{prefix}.clip.fq.gz", f"{prefix}.clip.sam",
+                            device_align=device_align)
     stages["realign"] = time.time() - t
     t = time.time()
     getsv(f"{prefix}.clip.sam", bam, f"{prefix}.clip.gz", f"{prefix}.sv",
-          f"{prefix}.r.fq", filtered_out=_io.StringIO(), recs=recs)
+          f"{prefix}.r.fq", filtered_out=_io.StringIO(), recs=recs,
+          stats=stats_arg)
     stages["getsv"] = time.time() - t
     stages["total"] = time.time() - t0
-    return recs.n, stages
+    stages["aligner"] = {k: round(v, 3) for k, v in aligner.timings.items()}
+    return n, stages
 
 
 def run_reference(root, out_dir):
@@ -141,6 +158,17 @@ def main():
     ap.add_argument("--repeats", action="store_true",
                     help="copy repeat blocks into the genome")
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--stream", action="store_true",
+                    help="bounded-memory ingestion (pipeline.stream)")
+    ap.add_argument("--chunk-records", type=int, default=2_000_000)
+    ap.add_argument("--device-align", action="store_true",
+                    help="force the fully device-resident realignment "
+                         "front-end (ops.align_device)")
+    ap.add_argument("--skip-reference", action="store_true",
+                    help="skip the reference-binary head-to-head (no "
+                         "parity check; for RSS/device-fraction runs)")
+    ap.add_argument("--out", default=None,
+                    help="append the JSON result line to this file")
     args = ap.parse_args()
     G = int(args.genome_mb * 1e6)
     key = (f"scale-G{G}-c{args.coverage}-l{args.read_len}-s{args.seed}"
@@ -149,39 +177,68 @@ def main():
     build_dataset(root, G, args.coverage, args.read_len, args.seed,
                   args.events, args.repeats)
 
+    import resource
+
     with tempfile.TemporaryDirectory() as d:
-        ref_stages = run_reference(root, d)
+        ref_stages = None
+        ref_sv = None
+        if not args.skip_reference:
+            ref_stages = run_reference(root, d)
+            ref_sv = sv_rows(os.path.join(d, "ref.sv"))
         n = None
         ours = None
         for _ in range(max(1, args.trials)):  # best-of (page/jit warm)
             with tempfile.TemporaryDirectory() as d2:
-                n, st = run_ours(root, d2)
+                n, st = run_ours(root, d2, stream=args.stream,
+                                 chunk_records=args.chunk_records,
+                                 device_align=args.device_align)
                 if ours is None or st["total"] < ours["total"]:
                     ours = st
                 if _ == 0:
                     ours_sv = sv_rows(os.path.join(d2, "ours.sv"))
-        ref_sv = sv_rows(os.path.join(d, "ref.sv"))
-        exact = ours_sv == ref_sv
-        # fall back to call-coordinate comparison if text differs (the
-        # reference side realigns with bwa, ours with the in-framework
-        # aligner; mapq ties can reorder columns without changing calls)
-        calls = lambda rows: sorted(tuple(r.split("\t")[:8]) for r in rows)
-        calls_equal = calls(ours_sv) == calls(ref_sv)
+        if ref_sv is not None:
+            exact = ours_sv == ref_sv
+            # fall back to call-coordinate comparison if text differs (the
+            # reference side realigns with bwa, ours with the in-framework
+            # aligner; mapq ties can reorder columns without changing calls)
+            calls = lambda rows: sorted(tuple(r.split("\t")[:8])
+                                        for r in rows)
+            calls_equal = calls(ours_sv) == calls(ref_sv)
+            parity = ("exact" if exact
+                      else ("calls-equal" if calls_equal else "MISMATCH"))
+        else:
+            exact = calls_equal = True
+            parity = "unchecked"
 
     ours_rps = n / ours["total"]
-    ref_rps = n / ref_stages["total"]
-    print(json.dumps({
+    al = ours.pop("aligner", {})
+    dev_s = al.get("device_extend_s", 0.0)
+    host_s = al.get("host_extend_s", 0.0)
+    result = {
         "metric": "scale_full_pipeline_reads_per_s",
         "value": round(ours_rps, 1), "unit": "reads/s",
-        "vs_baseline": round(ours_rps / ref_rps, 4),
         "n_records": n,
         "genome_mb": args.genome_mb, "coverage": args.coverage,
-        "read_len": args.read_len,
-        "parity": "exact" if exact else
-                  ("calls-equal" if calls_equal else "MISMATCH"),
+        "read_len": args.read_len, "stream": args.stream,
+        "parity": parity,
+        "peak_rss_mb": round(resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / 1024, 1),
         "ours_stages_s": {k: round(v, 3) for k, v in ours.items()},
-        "ref_stages_s": {k: round(v, 3) for k, v in ref_stages.items()},
-    }))
+        "aligner_stages_s": al,
+        "realign_device_fraction": round(
+            dev_s / max(dev_s + host_s + al.get("seed_s", 0)
+                        + al.get("finalize_s", 0), 1e-9), 4),
+    }
+    if ref_stages is not None:
+        ref_rps = n / ref_stages["total"]
+        result["vs_baseline"] = round(ours_rps / ref_rps, 4)
+        result["ref_stages_s"] = {k: round(v, 3)
+                                  for k, v in ref_stages.items()}
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
     if not (exact or calls_equal):
         sys.exit(1)
 

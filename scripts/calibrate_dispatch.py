@@ -1,0 +1,142 @@
+"""Measure the host-vs-device dispatch crossover for the batched
+extension kernel and write it as a committed calibration artifact.
+
+The round-1 engine used a blunt MIN_DEVICE_CELLS = 50M cliff
+(align/engine.py).  This script replaces it with a measurement on the
+actual hardware pair in play: the native C++ kernel (csrc) on this host
+vs the Pallas kernel on the attached TPU (including the host->device
+upload and device->host sync that a tunneled chip pays per batch).
+
+For each batch size it times both paths on identical random extension
+workloads (LQ=128, LT=256 — the realignment engine's dominant bucket for
+100-150bp reads) and reports cells/s; the crossover is interpolated where
+the device first wins.  Output: seeksv_tpu/align/dispatch_calibration.json
+(engine reads it at import; falls back to the old constant when absent).
+
+Usage: python scripts/calibrate_dispatch.py [--out PATH]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LQ, LT = 128, 256
+BATCHES = [64, 256, 1024, 4096, 16384, 65536]
+
+
+def make_batch(rng, B):
+    # int8 codes: the dtype the engine actually ships (device kernels
+    # widen on-device; 4x smaller upload than int32)
+    q = rng.integers(0, 4, (B, LQ)).astype(np.int8)
+    t = rng.integers(0, 4, (B, LT)).astype(np.int8)
+    # make targets correlated with queries so the DP does real work
+    t[:, :LQ] = np.where(rng.random((B, LQ)) < 0.9, q, t[:, :LQ])
+    ql = np.full(B, LQ, np.int32)
+    tl = np.full(B, LT, np.int32)
+    h0 = np.full(B, 19, np.int32)
+    return q, ql, t, tl, h0
+
+
+def time_host(batch, trials=3):
+    from seeksv_tpu.io import native
+    if not native.sw_available():
+        return None
+    best = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        native.sw_extend_batch_native(*batch)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def time_device(batch, trials=3):
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        from seeksv_tpu.ops.jax_kernels import sw_extend_batch as kern
+    else:
+        from seeksv_tpu.ops.pallas_sw import pallas_extend_batch as kern
+    # warmup compile
+    out = kern(*batch)
+    np.asarray(out["max_score"])
+    best = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out = kern(*batch)  # includes upload: args are host numpy
+        np.asarray(out["max_score"])  # includes device->host sync
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "seeksv_tpu", "align", "dispatch_calibration.json"))
+    args = ap.parse_args()
+
+    import jax
+    platform = jax.devices()[0].platform
+    dev = str(jax.devices()[0])
+
+    rng = np.random.default_rng(0)
+    rows = []
+    crossover_cells = None
+    for B in BATCHES:
+        batch = make_batch(rng, B)
+        cells = B * LQ * LT
+        th = time_host(batch)
+        td = time_device(batch)
+        row = {"batch": B, "cells": cells,
+               "host_s": round(th, 5) if th else None,
+               "device_s": round(td, 5) if td else None,
+               "host_gcells_s": round(cells / th / 1e9, 3) if th else None,
+               "device_gcells_s": round(cells / td / 1e9, 3) if td else None}
+        rows.append(row)
+        print(json.dumps(row), file=sys.stderr)
+        if th and td and td < th and crossover_cells is None:
+            if len(rows) > 1 and rows[-2]["host_s"] and rows[-2]["device_s"]:
+                # log-interpolate between the last host-winning size and
+                # this device-winning size
+                prev = rows[-2]
+                r0 = prev["device_s"] / prev["host_s"]
+                r1 = td / th
+                # find f in [0,1] with ratio crossing 1 (geometric)
+                import math
+                f = (math.log(r0) / (math.log(r0) - math.log(r1))
+                     if r0 > 0 and r1 > 0 and r0 != r1 else 0.5)
+                crossover_cells = int(prev["cells"] *
+                                      (cells / prev["cells"]) ** f)
+            else:
+                crossover_cells = cells
+    if crossover_cells is None and rows and rows[-1]["device_s"]:
+        # device never won up to the largest size: place the crossover one
+        # extrapolated octave beyond what was measured so the host path
+        # keeps serving everything actually observed
+        crossover_cells = rows[-1]["cells"] * 4
+
+    out = {
+        "kernel": "sw_extend_batch",
+        "shape": {"LQ": LQ, "LT": LT},
+        "platform": platform, "device": dev,
+        "host_threads": os.cpu_count(),
+        "rows": rows,
+        "crossover_cells": crossover_cells,
+        "note": ("device dispatch pays one upload + one sync per batch; "
+                 "crossover measured end-to-end from host numpy inputs"),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"crossover_cells": crossover_cells,
+                      "platform": platform, "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,10 @@ def sw_extend_batch(q: jnp.ndarray, qlen: jnp.ndarray, t: jnp.ndarray,
     """
     B, LQ = q.shape
     LT = t.shape[1]
+    # codes may arrive as int8 (4x cheaper host->device upload on
+    # tunneled chips, see scripts/calibrate_dispatch.py); widen on device
+    q = q.astype(jnp.int32)
+    t = t.astype(jnp.int32)
     jidx = jnp.arange(1, LQ + 1, dtype=jnp.int32)  # [LQ]
     # initial row: h[0]=h0; h[j] = h0 - open - j*ext while >= 0
     row0 = h0[:, None] - GAP_OPEN - jidx[None, :] * GAP_EXT
