@@ -549,6 +549,35 @@ def slice_records(recs: BamRecords, lo: int, hi: int) -> BamRecords:
     )
 
 
+def concat_records(parts: List[BamRecords]) -> BamRecords:
+    """Concatenate record slabs (inverse of read_bam_chunks; offsets
+    rebased).  All parts must share the same reference dictionary."""
+    if len(parts) == 1:
+        return parts[0]
+    base = parts[0]
+
+    def cat(attr):
+        return np.concatenate([getattr(p, attr) for p in parts])
+
+    def cat_off(attr):
+        outs = [np.asarray(getattr(parts[0], attr))]
+        for p in parts[1:]:
+            outs.append(np.asarray(getattr(p, attr))[1:] + outs[-1][-1])
+        return np.concatenate(outs)
+
+    qnames = [bytes(q) for p in parts for q in p.qnames]
+    return BamRecords(
+        ref_names=base.ref_names, ref_lens=base.ref_lens,
+        n=sum(p.n for p in parts),
+        flag=cat("flag"), tid=cat("tid"), pos=cat("pos"), mapq=cat("mapq"),
+        mtid=cat("mtid"), mpos=cat("mpos"), isize=cat("isize"),
+        l_qseq=cat("l_qseq"), qnames=qnames,
+        cig=cat("cig"), cig_off=cat_off("cig_off"),
+        seq=cat("seq"), qual=cat("qual"), seq_off=cat_off("seq_off"),
+        xc=cat("xc"),
+    )
+
+
 def cigar_str_to_ops(cigar: str) -> np.ndarray:
     """'10M2S' -> bam-encoded uint32 ops ('*' -> empty)."""
     if cigar == "*":

@@ -461,62 +461,14 @@ def merge_junction_sharded(jmap: JunctionMap, search_length: int) -> int:
 HIST_SIZE = 1 << 16
 
 
-def spmd_coverage_insert(mesh, recs: BamRecords, min_mapq: int,
-                         read_pair_used: int):
-    """One jitted shard_map step over the real record arrays:
-      * coverage — M/=/X segments (depth_segments) sharded over dp,
-        scatter-added locally, psum over dp, genome axis sharded over gp;
-      * insert-size — the first-N proper-pair mask via a cross-shard
-        prefix count (all_gather over dp) + histogram psum.
-    Returns (cov: {tid: np.ndarray}, mean, dev) with the exact integer
-    semantics of cluster.cpp:15-83 / bam2depth.cpp:75-129."""
+def _coverage_insert_body(dp: int, block: int, g_pad: int,
+                          read_pair_used: int, ax_dp: str, ax_gp: str):
+    """The shard_map body shared by the single-process SPMD step and the
+    multi-process (jax.distributed) step: coverage scatter-add + psum over
+    dp, genome axis sharded over gp; insert-size first-N mask via a
+    cross-shard prefix count + histogram psum."""
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    dp = mesh.shape[mesh.axis_names[0]]
-    gp = mesh.shape[mesh.axis_names[1]]
-
-    # genome-flat coordinate space
-    offsets = np.concatenate([[0], np.cumsum(recs.ref_lens)]).astype(np.int64)
-    g_total = int(offsets[-1])
-    block = -(-(g_total + 1) // gp)
-    g_pad = block * gp
-
-    seg_start, seg_end, seg_tid = depth_segments(recs, min_mapq)
-    # clip per-tid (a segment overhanging its chromosome end must not
-    # bleed into the next tid's block in the flat coordinate space)
-    tid_lens = np.asarray(recs.ref_lens, np.int64)[seg_tid]
-    seg_start = np.clip(seg_start, 0, tid_lens)
-    seg_end = np.clip(seg_end, 0, tid_lens)
-    flat_start = (seg_start + offsets[seg_tid]).astype(np.int64)
-    flat_end = (seg_end + offsets[seg_tid]).astype(np.int64)
-    S = len(flat_start)
-    Sp = -(-max(S, 1) // dp) * dp
-    starts = np.full(Sp, g_pad, np.int64)
-    ends = np.full(Sp, g_pad, np.int64)
-    starts[:S] = flat_start
-    ends[:S] = flat_end
-
-    # first-N proper-pair qualification mask (ref cluster.cpp:25-56)
-    first_op = recs.first_op()
-    last_op = recs.last_op()
-    has_cigar = recs.cig_off[1:] > recs.cig_off[:-1]
-    hard = has_cigar & ((first_op == OP_H) | (last_op == OP_H))
-    from ..io.bam import FPAIRED, FPROPER_PAIR
-    ok = ((recs.mapq >= min_mapq)
-          & ((recs.flag & FPAIRED) != 0) & ((recs.flag & FPROPER_PAIR) != 0)
-          & ((recs.flag & FDUP) == 0) & (recs.isize > 0) & ~hard)
-    N = recs.n
-    Npad = -(-max(N, 1) // dp) * dp
-    isize = np.zeros(Npad, np.int32)
-    okp = np.zeros(Npad, bool)
-    isize[:N] = np.clip(recs.isize, 0, HIST_SIZE - 1)
-    over = np.zeros(Npad, bool)
-    over[:N] = recs.isize >= HIST_SIZE
-    okp[:N] = ok
-
-    ax_dp, ax_gp = mesh.axis_names
 
     def body(st, en, isz, okm, ovm):
         # coverage: local scatter-add on the diff array, psum over dp,
@@ -543,6 +495,93 @@ def spmd_coverage_insert(mesh, recs: BamRecords, min_mapq: int,
                               ax_dp)
         return cov_local, hist, n_over[None]
 
+    return body
+
+
+def _flat_segments(recs: BamRecords, min_mapq: int, offsets: np.ndarray,
+                   g_pad: int):
+    """Depth segments in genome-flat coordinates (host prep shared by the
+    SPMD and multi-process steps)."""
+    seg_start, seg_end, seg_tid = depth_segments(recs, min_mapq)
+    # clip per-tid (a segment overhanging its chromosome end must not
+    # bleed into the next tid's block in the flat coordinate space)
+    tid_lens = np.asarray(recs.ref_lens, np.int64)[seg_tid]
+    seg_start = np.clip(seg_start, 0, tid_lens)
+    seg_end = np.clip(seg_end, 0, tid_lens)
+    flat_start = (seg_start + offsets[seg_tid]).astype(np.int64)
+    flat_end = (seg_end + offsets[seg_tid]).astype(np.int64)
+    return flat_start, flat_end
+
+
+def _insert_columns(recs: BamRecords, min_mapq: int):
+    """Per-record first-N qualification mask + clamped isize columns
+    (ref cluster.cpp:25-56)."""
+    first_op = recs.first_op()
+    last_op = recs.last_op()
+    has_cigar = recs.cig_off[1:] > recs.cig_off[:-1]
+    hard = has_cigar & ((first_op == OP_H) | (last_op == OP_H))
+    from ..io.bam import FPAIRED, FPROPER_PAIR
+    ok = ((recs.mapq >= min_mapq)
+          & ((recs.flag & FPAIRED) != 0) & ((recs.flag & FPROPER_PAIR) != 0)
+          & ((recs.flag & FDUP) == 0) & (recs.isize > 0) & ~hard)
+    isize = np.clip(recs.isize, 0, HIST_SIZE - 1).astype(np.int32)
+    over = np.asarray(recs.isize >= HIST_SIZE)
+    return ok, isize, over
+
+
+def _insert_stats_from_hist(hist: np.ndarray):
+    n = int(hist.sum())
+    if n == 0:
+        return 0, 0
+    vals = np.arange(HIST_SIZE, dtype=np.int64)
+    mean = int((hist * vals).sum() // n)
+    import math
+    dev = int(math.sqrt(float((hist * (vals - mean) ** 2).sum()) / n))
+    return mean, dev
+
+
+def spmd_coverage_insert(mesh, recs: BamRecords, min_mapq: int,
+                         read_pair_used: int):
+    """One jitted shard_map step over the real record arrays:
+      * coverage — M/=/X segments (depth_segments) sharded over dp,
+        scatter-added locally, psum over dp, genome axis sharded over gp;
+      * insert-size — the first-N proper-pair mask via a cross-shard
+        prefix count (all_gather over dp) + histogram psum.
+    Returns (cov: {tid: np.ndarray}, mean, dev) with the exact integer
+    semantics of cluster.cpp:15-83 / bam2depth.cpp:75-129."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = mesh.shape[mesh.axis_names[0]]
+    gp = mesh.shape[mesh.axis_names[1]]
+
+    # genome-flat coordinate space
+    offsets = np.concatenate([[0], np.cumsum(recs.ref_lens)]).astype(np.int64)
+    g_total = int(offsets[-1])
+    block = -(-(g_total + 1) // gp)
+    g_pad = block * gp
+
+    flat_start, flat_end = _flat_segments(recs, min_mapq, offsets, g_pad)
+    S = len(flat_start)
+    Sp = -(-max(S, 1) // dp) * dp
+    starts = np.full(Sp, g_pad, np.int64)
+    ends = np.full(Sp, g_pad, np.int64)
+    starts[:S] = flat_start
+    ends[:S] = flat_end
+
+    ok, isize_c, over_c = _insert_columns(recs, min_mapq)
+    N = recs.n
+    Npad = -(-max(N, 1) // dp) * dp
+    isize = np.zeros(Npad, np.int32)
+    okp = np.zeros(Npad, bool)
+    over = np.zeros(Npad, bool)
+    isize[:N] = isize_c
+    over[:N] = over_c
+    okp[:N] = ok
+
+    ax_dp, ax_gp = mesh.axis_names
+    body = _coverage_insert_body(dp, block, g_pad, read_pair_used,
+                                 ax_dp, ax_gp)
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(ax_dp), P(ax_dp), P(ax_dp), P(ax_dp), P(ax_dp)),
@@ -554,16 +593,84 @@ def spmd_coverage_insert(mesh, recs: BamRecords, min_mapq: int,
     hist = np.asarray(hist).astype(np.int64)
     if int(np.asarray(n_over)[0]):
         raise ValueError("insert sizes exceed histogram range")
-    n = int(hist.sum())
-    if n == 0:
-        mean = dev = 0
-    else:
-        vals = np.arange(HIST_SIZE, dtype=np.int64)
-        mean = int((hist * vals).sum() // n)
-        import math
-        dev = int(math.sqrt(float((hist * (vals - mean) ** 2).sum()) / n))
+    mean, dev = _insert_stats_from_hist(hist)
     cov_by_tid = {t: cov[offsets[t]:offsets[t + 1]].astype(np.int32)
                   for t in range(len(recs.ref_names))}
+    return cov_by_tid, mean, dev
+
+
+def multiprocess_coverage_insert(mesh, local_recs: BamRecords,
+                                 min_mapq: int, read_pair_used: int):
+    """The multi-HOST form of spmd_coverage_insert (SURVEY.md §2
+    communication call-out: per-host file sharding +
+    jax.make_array_from_process_local_data): every process supplies only
+    its own contiguous slice of the BAM's records — no process ever sees
+    the whole file — and the cross-shard prefix count inside the shard_map
+    body reconstructs the global first-N insert-size mask exactly.
+
+    Requires jax.distributed to be initialized and the mesh's dp axis to
+    enumerate processes in file order (process p holds the p-th record
+    range).  Returns (cov_by_tid, mean, dev), identical to the
+    single-process pass — asserted by tests/test_multihost.py."""
+    import jax
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ax_dp, ax_gp = mesh.axis_names
+    dp = mesh.shape[ax_dp]
+    gp = mesh.shape[ax_gp]
+
+    offsets = np.concatenate(
+        [[0], np.cumsum(local_recs.ref_lens)]).astype(np.int64)
+    g_total = int(offsets[-1])
+    block = -(-(g_total + 1) // gp)
+    g_pad = block * gp
+
+    flat_start, flat_end = _flat_segments(local_recs, min_mapq, offsets,
+                                          g_pad)
+    ok, isize_c, over_c = _insert_columns(local_recs, min_mapq)
+
+    # agree on the per-DEVICE padded shard sizes (control-plane exchange;
+    # the record data itself never leaves its process).  A process with
+    # n_local_dev devices contributes n_local_dev contiguous dp shards:
+    # its local arrays are padded to n_local_dev * per_dev and split
+    # evenly, preserving record order across the dp axis.
+    n_local_dev = max(1, jax.local_device_count())
+    counts = np.asarray(multihost_utils.process_allgather(np.asarray(
+        [-(-max(len(flat_start), 1) // n_local_dev),
+         -(-max(local_recs.n, 1) // n_local_dev)], np.int64)))
+    counts = counts.reshape(-1, 2)
+    S_dev = int(counts[:, 0].max(initial=1))
+    N_dev = int(counts[:, 1].max(initial=1))
+
+    def pad_local(a, per_dev, fill):
+        out = np.full(n_local_dev * per_dev, fill, a.dtype)
+        out[:len(a)] = a
+        return out
+
+    sh = NamedSharding(mesh, P(ax_dp))
+    mk = jax.make_array_from_process_local_data
+    gstarts = mk(sh, pad_local(flat_start, S_dev, np.int64(g_pad)))
+    gends = mk(sh, pad_local(flat_end, S_dev, np.int64(g_pad)))
+    gisize = mk(sh, pad_local(isize_c, N_dev, np.int32(0)))
+    gok = mk(sh, pad_local(np.asarray(ok), N_dev, False))
+    gover = mk(sh, pad_local(over_c, N_dev, False))
+
+    body = _coverage_insert_body(dp, block, g_pad, read_pair_used,
+                                 ax_dp, ax_gp)
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(ax_dp), P(ax_dp), P(ax_dp), P(ax_dp), P(ax_dp)),
+        out_specs=(P(ax_gp), P(None), P(None)), check_vma=False))
+    cov, hist, n_over = fn(gstarts, gends, gisize, gok, gover)
+    # outputs are replicated over dp -> locally addressable everywhere
+    cov = np.asarray(cov.addressable_data(0))
+    hist = np.asarray(hist.addressable_data(0)).astype(np.int64)
+    if int(np.asarray(n_over.addressable_data(0))[0]):
+        raise ValueError("insert sizes exceed histogram range")
+    mean, dev = _insert_stats_from_hist(hist)
+    cov_by_tid = {t: cov[offsets[t]:offsets[t + 1]].astype(np.int32)
+                  for t in range(len(local_recs.ref_names))}
     return cov_by_tid, mean, dev
 
 

@@ -1,0 +1,72 @@
+"""Worker process for the 2-process jax.distributed multi-host test
+(tests/test_multihost.py): each process ingests only ITS half of the BAM
+records (host-sharded file ingest), builds global arrays with
+jax.make_array_from_process_local_data, and runs the real
+coverage+insert-size shard_map step
+(parallel.spmd_pipeline.multiprocess_coverage_insert).  Process 0 also
+computes the sequential whole-file answer and asserts equality.
+
+Usage: python multihost_worker.py <pid> <nproc> <port> <bam>
+"""
+import sys
+
+
+def main():
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    bam = sys.argv[4]
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=nproc, process_id=pid)
+    import numpy as np
+    from jax.sharding import Mesh
+
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    from seeksv_tpu.io.bam import (concat_records, read_bam,
+                                   read_bam_chunks, slice_records)
+    from seeksv_tpu.parallel.spmd_pipeline import multiprocess_coverage_insert
+
+    assert jax.process_count() == nproc, jax.process_count()
+    n_dev = jax.device_count()
+    assert n_dev == nproc * 2, n_dev
+
+    # host-sharded ingest: this process decodes only its contiguous record
+    # range via the chunked reader (drops the other processes' slabs
+    # immediately — no global data visibility)
+    total = sum(c.n for c in read_bam_chunks(bam, 4000))
+    lo = pid * total // nproc
+    hi = (pid + 1) * total // nproc
+    parts = []
+    seen = 0
+    for c in read_bam_chunks(bam, 4000):
+        c_lo, c_hi = seen, seen + c.n
+        seen = c_hi
+        s, e = max(lo, c_lo), min(hi, c_hi)
+        if s < e:
+            parts.append(slice_records(c, s - c_lo, e - c_lo))
+    # concatenate this process's slabs into one local BamRecords
+    local = concat_records(parts)
+
+    devs = np.array(jax.devices()).reshape(n_dev, 1)
+    mesh = Mesh(devs, ("dp", "gp"))
+    cov, mean, dev = multiprocess_coverage_insert(mesh, local, 20, 5_000_000)
+
+    if pid == 0:
+        from seeksv_tpu.pipeline.getsv import (calculate_insert_size,
+                                               compute_coverage)
+        whole = read_bam(bam)
+        e_mean, e_dev = calculate_insert_size(whole, 20, 5_000_000)
+        assert (mean, dev) == (e_mean, e_dev), ((mean, dev), (e_mean, e_dev))
+        e_cov = compute_coverage(whole, 20)
+        for t in e_cov:
+            assert np.array_equal(cov[t], e_cov[t]), f"coverage tid {t}"
+        print("MULTIHOST_OK", mean, dev, flush=True)
+    else:
+        print(f"[{pid}] done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

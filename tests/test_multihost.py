@@ -1,0 +1,49 @@
+"""2-process jax.distributed multi-host simulation (SURVEY.md §4
+implication / §2 communication call-out): host-sharded BAM ingest ->
+jax.make_array_from_process_local_data -> the real coverage+insert-size
+shard_map step, with NO process ever holding the whole file — asserted
+equal to the sequential single-process result.
+
+The workers run in separate python processes (tests/multihost_worker.py)
+coordinated over a local TCP port with gloo CPU collectives; this is the
+same initialization path a real multi-host TPU pod uses
+(jax.distributed.initialize), minus the hardware."""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+WORKER = os.path.join(HERE, "multihost_worker.py")
+CANCER = "/root/reference/example/cancer.sort.bam"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_coverage_insert_equals_sequential():
+    port = _free_port()
+    env = dict(os.environ)
+    # the workers pick their own platform/device config in-process
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(pid), "2", str(port), CANCER],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    assert "MULTIHOST_OK" in outs[0], outs[0][-3000:]
