@@ -243,6 +243,12 @@ struct BamSoA {
   int32_t* ref_lens;
   uint8_t* ref_names;     // '\0'-joined
   int64_t ref_names_len;
+  // byte offset of each record within the DECOMPRESSED stream ([n+1];
+  // rec_off[n] = end of last record), plus the stream offset of the
+  // first record (header size).  Consumed by the vectorized BAI builder
+  // (io/bai.py) to map records to BGZF virtual offsets.
+  int64_t* rec_off;
+  int64_t body_off;
   char error[256];
 };
 
@@ -252,7 +258,7 @@ void seeksv_bam_free(BamSoA* b) {
   free(b->mpos); free(b->isize); free(b->l_qseq); free(b->xc);
   free(b->cig_off); free(b->cig); free(b->seq_off); free(b->seq);
   free(b->qual); free(b->qname_off); free(b->qnames); free(b->ref_lens);
-  free(b->ref_names);
+  free(b->ref_names); free(b->rec_off);
   free(b);
 }
 
@@ -265,8 +271,23 @@ static BamSoA* fail(BamSoA* b, const char* msg) {
 // pointers (each -> the 4-byte block_size prefix of one complete BAM
 // record).  Shared by the whole-file decoder and the chunked stream.
 static void fill_records(const std::vector<const uint8_t*>& rec_ptrs,
-                         BamSoA* out, int n_threads) {
+                         BamSoA* out, int n_threads,
+                         const uint8_t* base = nullptr) {
   const int64_t n = (int64_t)rec_ptrs.size();
+  out->rec_off = (int64_t*)malloc(8 * (n + 1));
+  if (base != nullptr) {
+    for (int64_t i = 0; i < n; i++)
+      out->rec_off[i] = (int64_t)(rec_ptrs[(size_t)i] - base);
+    if (n > 0) {
+      int32_t bs_last;
+      memcpy(&bs_last, rec_ptrs[(size_t)(n - 1)], 4);
+      out->rec_off[n] = out->rec_off[n - 1] + 4 + bs_last;
+    } else {
+      out->rec_off[0] = 0;
+    }
+  } else {
+    memset(out->rec_off, 0, 8 * (n + 1));
+  }
   int64_t cig_total = 0, seq_total = 0, qname_total = 0;
   for (int64_t i = 0; i < n; i++) {
     const uint8_t* r = rec_ptrs[(size_t)i];
@@ -456,7 +477,8 @@ BamSoA* seeksv_bam_decode(const char* path, int n_threads) {
     rec_ptrs.push_back(rec);
     rec = rec + 4 + bs;
   }
-  fill_records(rec_ptrs, out, n_threads);
+  out->body_off = (int64_t)(p - data.data());
+  fill_records(rec_ptrs, out, n_threads, data.data());
   return out;
 }
 
@@ -625,6 +647,205 @@ extern "C" void seeksv_bam_close(BamStream* s) {
   if (!s) return;
   if (s->f) fclose(s->f);
   delete s;
+}
+
+// Fixed-shape BAM record packing (simulator bulk path: full-length-M
+// reads with fixed-width "sim_%010d" qnames).  One contiguous pass per
+// record instead of ~30 strided numpy column writes.
+extern "C" void seeksv_pack_sim_records(
+    int64_t n, int32_t read_len, const int32_t* tid, const int32_t* pos,
+    const int32_t* mtid, const int32_t* mpos, const uint16_t* flag,
+    const int32_t* isize, const int64_t* qk, const uint8_t* seq,
+    uint8_t* out, int n_threads) {
+  const int32_t QN = 15;  // "sim_%010d" + NUL
+  const int32_t packed_len = (read_len + 1) / 2;
+  const int64_t rec = 4 + 32 + QN + 4 + packed_len + read_len;
+  static const uint8_t code_of[256] = {0};
+  // ASCII -> 4-bit nt16 code
+  uint8_t lut[256];
+  memset(lut, 15, sizeof(lut));
+  const char* syms = "=ACMGRSVTWYHKDBN";
+  for (int i = 0; i < 16; i++) lut[(uint8_t)syms[i]] = (uint8_t)i;
+  (void)code_of;
+  if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if ((int64_t)n_threads > n) n_threads = (int)(n > 0 ? n : 1);
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++) {
+      uint8_t* r = out + i * rec;
+      int32_t bs = (int32_t)(rec - 4);
+      memcpy(r, &bs, 4);
+      memcpy(r + 4, &tid[i], 4);
+      memcpy(r + 8, &pos[i], 4);
+      r[12] = (uint8_t)QN;
+      r[13] = 60;  // mapq
+      r[14] = r[15] = 0;  // bin
+      uint16_t ncig = 1;
+      memcpy(r + 16, &ncig, 2);
+      memcpy(r + 18, &flag[i], 2);
+      memcpy(r + 20, &read_len, 4);
+      memcpy(r + 24, &mtid[i], 4);
+      memcpy(r + 28, &mpos[i], 4);
+      memcpy(r + 32, &isize[i], 4);
+      memcpy(r + 36, "sim_", 4);
+      int64_t d = qk[i];
+      for (int k = 9; k >= 0; k--) {
+        r[40 + k] = (uint8_t)('0' + d % 10);
+        d /= 10;
+      }
+      r[50] = 0;
+      uint32_t cig = ((uint32_t)read_len << 4);  // <len>M
+      memcpy(r + 51, &cig, 4);
+      const uint8_t* sq = seq + i * read_len;
+      uint8_t* pk = r + 55;
+      int32_t half = read_len / 2;
+      for (int32_t k = 0; k < half; k++)
+        pk[k] = (uint8_t)((lut[sq[2 * k]] << 4) | lut[sq[2 * k + 1]]);
+      if (read_len & 1) pk[half] = (uint8_t)(lut[sq[read_len - 1]] << 4);
+      memset(r + 55 + packed_len, 40, (size_t)read_len);  // qual 'I'-33
+    }
+  };
+  if (n_threads == 1) {
+    work(0, n);
+  } else {
+    std::vector<std::thread> ths;
+    int64_t per = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
+      if (lo >= hi) break;
+      ths.emplace_back(work, lo, hi);
+    }
+    for (auto& th : ths) th.join();
+  }
+}
+
+// ---------------------------------------------------------------------------
+// BGZF compression (writer hot path: simulator output, BAM writing).
+// Splits `data` into <=block_size chunks, deflates each independently
+// (threads), emits the BGZF framing.  Returns bytes written, or -1 when
+// out_cap is too small (caller sizes via seeksv_bgzf_bound).
+
+namespace {
+constexpr int64_t kBgzfBlock = 60000;
+
+#ifdef USE_LIBDEFLATE
+static size_t deflate_one_ld(const uint8_t* src, size_t n, uint8_t* dst,
+                             size_t cap, libdeflate_compressor* c) {
+  return libdeflate_deflate_compress(c, src, n, dst, cap);  // 0 on failure
+}
+#endif
+
+static size_t deflate_one(const uint8_t* src, size_t n, int level,
+                          uint8_t* dst, size_t cap) {
+#ifdef USE_LIBDEFLATE
+  libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+  size_t out = libdeflate_deflate_compress(c, src, n, dst, cap);
+  libdeflate_free_compressor(c);
+  return out;  // 0 on failure
+#else
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+    return 0;
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = (uInt)n;
+  zs.next_out = dst;
+  zs.avail_out = (uInt)cap;
+  int ret = deflate(&zs, Z_FINISH);
+  size_t out = cap - zs.avail_out;
+  deflateEnd(&zs);
+  return ret == Z_STREAM_END ? out : 0;
+#endif
+}
+
+uint32_t crc32_one(const uint8_t* src, size_t n) {
+#ifdef USE_LIBDEFLATE
+  return libdeflate_crc32(0, src, n);
+#else
+  return (uint32_t)crc32(0L, src, (uInt)n);
+#endif
+}
+}  // namespace
+
+extern "C" int64_t seeksv_bgzf_bound(int64_t n) {
+  int64_t blocks = (n + kBgzfBlock - 1) / kBgzfBlock;
+  if (blocks < 1) blocks = 1;
+  return n + blocks * (kBgzfBlock / 4 + 64);
+}
+
+extern "C" int64_t seeksv_bgzf_compress(const uint8_t* data, int64_t n,
+                                        int level, uint8_t* out,
+                                        int64_t out_cap, int n_threads) {
+  int64_t nb = (n + kBgzfBlock - 1) / kBgzfBlock;
+  if (nb == 0) return 0;
+  if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if ((int64_t)n_threads > nb) n_threads = (int)nb;
+  // per-block worst-case slot in a scratch buffer, then compact
+  const int64_t slot = kBgzfBlock + kBgzfBlock / 4 + 64;
+  std::vector<uint8_t> scratch((size_t)(nb * slot));
+  std::vector<int64_t> lens((size_t)nb, -1);
+  auto work = [&](int64_t b0, int64_t b1) {
+#ifdef USE_LIBDEFLATE
+    libdeflate_compressor* lc = libdeflate_alloc_compressor(level);
+#endif
+    for (int64_t b = b0; b < b1; b++) {
+      const uint8_t* src = data + b * kBgzfBlock;
+      size_t len = (size_t)std::min(kBgzfBlock, n - b * kBgzfBlock);
+      uint8_t* dst = scratch.data() + b * slot;
+#ifdef USE_LIBDEFLATE
+      size_t comp = deflate_one_ld(src, len, dst + 18,
+                                   (size_t)slot - 26, lc);
+#else
+      size_t comp = deflate_one(src, len, level, dst + 18, (size_t)slot - 26);
+#endif
+      if (comp == 0 || comp + 26 > 65536) {  // fall back to stored blocks
+        // deflate "stored" framing done by zlib at level 0 always fits
+        comp = deflate_one(src, len, 0, dst + 18, (size_t)slot - 26);
+        if (comp == 0 || comp + 26 > 65536) {
+          lens[(size_t)b] = -1;
+          continue;
+        }
+      }
+      size_t bsize = comp + 26;
+      dst[0] = 0x1f; dst[1] = 0x8b; dst[2] = 8; dst[3] = 4;
+      memset(dst + 4, 0, 5);
+      dst[9] = 0xff;
+      uint16_t xlen = 6;
+      memcpy(dst + 10, &xlen, 2);
+      dst[12] = 'B'; dst[13] = 'C';
+      uint16_t two = 2, bs16 = (uint16_t)(bsize - 1);
+      memcpy(dst + 14, &two, 2);
+      memcpy(dst + 16, &bs16, 2);
+      uint32_t crc = crc32_one(src, len);
+      uint32_t isize = (uint32_t)len;
+      memcpy(dst + 18 + comp, &crc, 4);
+      memcpy(dst + 22 + comp, &isize, 4);
+      lens[(size_t)b] = (int64_t)bsize;
+    }
+#ifdef USE_LIBDEFLATE
+    libdeflate_free_compressor(lc);
+#endif
+  };
+  {
+    std::vector<std::thread> ths;
+    int64_t per = (nb + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int64_t lo = t * per, hi = lo + per < nb ? lo + per : nb;
+      if (lo >= hi) break;
+      ths.emplace_back(work, lo, hi);
+    }
+    for (auto& th : ths) th.join();
+  }
+  (void)level;
+  int64_t total = 0;
+  for (int64_t b = 0; b < nb; b++) {
+    if (lens[(size_t)b] < 0) return -1;
+    if (total + lens[(size_t)b] > out_cap) return -1;
+    memcpy(out + total, scratch.data() + b * slot, (size_t)lens[(size_t)b]);
+    total += lens[(size_t)b];
+  }
+  return total;
 }
 
 // Coverage accumulation: diff[start] += w; diff[end] -= w over segments.

@@ -156,13 +156,153 @@ def reg2bin(beg: int, end: int) -> int:
     return 0
 
 
+def _reg2bin_vec(beg: np.ndarray, end: np.ndarray) -> np.ndarray:
+    """Vectorized reg2bin over [beg, end) arrays."""
+    e = end - 1
+    out = np.zeros(len(beg), np.int64)
+    done = np.zeros(len(beg), bool)
+    for shift, base in ((14, (1 << 15) - 1), (17, (1 << 12) - 1),
+                        (20, (1 << 9) - 1), (23, (1 << 6) - 1),
+                        (26, (1 << 3) - 1)):
+        hit = ~done & ((beg >> shift) == (e >> shift))
+        out[hit] = base // 7 + (beg[hit] >> shift)
+        done |= hit
+    return out
+
+
+def _scan_blocks(raw: bytes):
+    """BGZF block table: (compressed offsets, decompressed offsets)."""
+    import struct as _s
+    coffs, outs = [], []
+    off = 0
+    out_off = 0
+    while off + 18 <= len(raw):
+        xlen = _s.unpack_from("<H", raw, off + 10)[0]
+        p = off + 12
+        bsize = 0
+        xend = p + xlen
+        while p + 4 <= xend:
+            si1, si2, slen = raw[p], raw[p + 1], _s.unpack_from("<H", raw, p + 2)[0]
+            if si1 == 66 and si2 == 67 and slen == 2:
+                bsize = _s.unpack_from("<H", raw, p + 4)[0] + 1
+            p += 4 + slen
+        isize = _s.unpack_from("<I", raw, off + bsize - 4)[0]
+        coffs.append(off)
+        outs.append(out_off)
+        out_off += isize
+        off += bsize
+    return np.asarray(coffs, np.int64), np.asarray(outs, np.int64)
+
+
+def _build_index_vectorized(bam_path: str, out_path: str) -> Optional[str]:
+    """Vectorized BAI build over the native decoder's record-offset table
+    (byte-identical output to the per-record path, asserted by
+    tests/test_bai.py); returns None when the native offsets are
+    unavailable (python decode fallback)."""
+    import struct as _s
+
+    from .bam import read_bam
+    from . import native
+
+    recs = read_bam(bam_path)
+    offs = native.rec_offsets(recs) if native.available() else None
+    if offs is None:
+        return None
+    rec_off, _body = offs
+    with open(bam_path, "rb") as f:
+        raw = f.read()
+    block_coffs, block_outs = _scan_blocks(raw)
+
+    def voff(g):
+        i = np.searchsorted(block_outs, g, "right") - 1
+        return (block_coffs[i] << 16) | (g - block_outs[i])
+
+    n_ref = len(recs.ref_names)
+    sel = np.nonzero(recs.tid >= 0)[0]
+    tid = recs.tid[sel].astype(np.int64)
+    pos = recs.pos[sel].astype(np.int64)
+    span = recs.ref_span(count_x=True)[sel].astype(np.int64)
+    end = pos + np.maximum(span, 1)
+    vb = voff(rec_off[:-1][sel])
+    ve = voff(rec_off[1:][sel])
+    binv = _reg2bin_vec(pos, end)
+
+    bins: List[Dict[int, List[Tuple[int, int]]]] = [dict() for _ in range(n_ref)]
+    linear: List[Dict[int, int]] = [dict() for _ in range(n_ref)]
+
+    # chunk lists per (tid, bin), merging file-adjacent records (stable
+    # group order = record order, reproducing the sequential pass)
+    order = np.lexsort((np.arange(len(sel)), binv, tid))
+    t_s, b_s, vb_s, ve_s = tid[order], binv[order], vb[order], ve[order]
+    if len(order):
+        new_group = np.ones(len(order), bool)
+        new_group[1:] = (t_s[1:] != t_s[:-1]) | (b_s[1:] != b_s[:-1])
+        new_chunk = new_group.copy()
+        new_chunk[1:] |= vb_s[1:] != ve_s[:-1]
+        starts = np.nonzero(new_chunk)[0]
+        ends = np.append(starts[1:], len(order))
+        for s, e in zip(starts, ends):
+            bins[int(t_s[s])].setdefault(int(b_s[s]), []).append(
+                (int(vb_s[s]), int(ve_s[e - 1])))
+
+    # linear 16kb windows: min vb per window covered
+    w_end = (end - 1) >> 14
+    for t in range(n_ref):
+        m = tid == t
+        if not m.any():
+            continue
+        size = int(w_end[m].max()) + 1
+        arr = np.full(size, (1 << 63) - 1, np.int64)
+        w = pos[m] >> 14
+        we = w_end[m]
+        vbm = vb[m]
+        k = 0
+        while True:
+            act = w + k <= we
+            if not act.any():
+                break
+            np.minimum.at(arr, (w + k)[act], vbm[act])
+            k += 1
+        lt = linear[t]
+        for wi in np.nonzero(arr != (1 << 63) - 1)[0]:
+            lt[int(wi)] = int(arr[wi])
+
+    _write_bai(out_path, n_ref, bins, linear)
+    return out_path
+
+
+def _write_bai(out_path, n_ref, bins, linear) -> None:
+    import struct as _s
+    with open(out_path, "wb") as f:
+        f.write(b"BAI\x01" + _s.pack("<i", n_ref))
+        for t in range(n_ref):
+            f.write(_s.pack("<i", len(bins[t])))
+            for b, chunks in sorted(bins[t].items()):
+                f.write(_s.pack("<Ii", b, len(chunks)))
+                for beg, end in chunks:
+                    f.write(_s.pack("<QQ", beg, end))
+            n_intv = max(linear[t]) + 1 if linear[t] else 0
+            f.write(_s.pack("<i", n_intv))
+            run = 0
+            for w in range(n_intv):
+                if w in linear[t]:
+                    run = linear[t][w]
+                f.write(_s.pack("<Q", run))
+
+
 def build_index(bam_path: str, out_path: Optional[str] = None) -> str:
     """Build a .bai for a BAM (the `samtools index` role).  Walks the BGZF
     blocks to map global uncompressed offsets -> virtual offsets, then one
-    record pass fills bins + 16kb linear windows."""
+    record pass fills bins + 16kb linear windows.  Uses the vectorized
+    native-offset path when available; the per-record fallback below is
+    the semantic reference."""
     import struct as _s
 
     out_path = out_path or bam_path + ".bai"
+    if bam_path.endswith(".bam"):
+        r = _build_index_vectorized(bam_path, out_path)
+        if r is not None:
+            return r
     with open(bam_path, "rb") as f:
         raw = f.read()
     # block table: (header_coffset, out_off, out_len)

@@ -26,8 +26,8 @@ BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000")
 
 
-def _bgzf_block(data: bytes) -> bytes:
-    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+def _bgzf_block(data: bytes, level: int = 6) -> bytes:
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
     comp = co.compress(data) + co.flush()
     bsize = len(comp) + 25 + 1
     header = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
@@ -37,19 +37,39 @@ def _bgzf_block(data: bytes) -> bytes:
 
 
 class BgzfWriter:
-    def __init__(self, path: str):
+    def __init__(self, path: str, level: int = 6):
         self.f = open(path, "wb")
         self.buf = bytearray()
+        self.level = level
+        try:
+            from . import native
+            self._native = native if native.bgzf_available() else None
+        except ImportError:
+            self._native = None
 
     def write(self, data: bytes):
-        self.buf += data
-        while len(self.buf) >= 60000:
-            self.f.write(_bgzf_block(bytes(self.buf[:60000])))
-            del self.buf[:60000]
+        # large writes are sliced from a moving offset (no quadratic
+        # front-deletion on the buffer)
+        buf = self.buf
+        buf += data
+        if len(buf) < 60000:
+            return
+        n_full = (len(buf) // 60000) * 60000
+        mv = memoryview(buf)
+        if self._native is not None:
+            self.f.write(self._native.bgzf_compress(mv[:n_full], self.level))
+        else:
+            off = 0
+            while off < n_full:
+                self.f.write(_bgzf_block(bytes(mv[off:off + 60000]),
+                                         self.level))
+                off += 60000
+        del mv
+        del buf[:n_full]
 
     def close(self):
         if self.buf:
-            self.f.write(_bgzf_block(bytes(self.buf)))
+            self.f.write(_bgzf_block(bytes(self.buf), self.level))
         self.f.write(BGZF_EOF)
         self.f.close()
 
@@ -81,8 +101,9 @@ def encode_record(tid: int, pos: int, qname: bytes, flag: int, mapq: int,
 
 
 class BamWriter:
-    def __init__(self, path: str, ref_names: List[str], ref_lens: List[int]):
-        self.w = BgzfWriter(path)
+    def __init__(self, path: str, ref_names: List[str], ref_lens: List[int],
+                 level: int = 6):
+        self.w = BgzfWriter(path, level=level)
         text = "".join(f"@SQ\tSN:{n}\tLN:{l}\n"
                        for n, l in zip(ref_names, ref_lens)).encode()
         hdr = b"BAM\x01" + struct.pack("<i", len(text)) + text

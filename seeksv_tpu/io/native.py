@@ -42,6 +42,8 @@ class _BamSoA(ctypes.Structure):
         ("ref_lens", ctypes.POINTER(ctypes.c_int32)),
         ("ref_names", ctypes.POINTER(ctypes.c_uint8)),
         ("ref_names_len", ctypes.c_int64),
+        ("rec_off", ctypes.POINTER(ctypes.c_int64)),
+        ("body_off", ctypes.c_int64),
         ("error", ctypes.c_char * 256),
     ]
 
@@ -105,6 +107,22 @@ def _load() -> Optional[ctypes.CDLL]:
                 if hasattr(lib, "seeksv_coverage_depth"):
                     lib.seeksv_coverage_depth.argtypes = \
                         lib.seeksv_coverage_diff.argtypes
+                if hasattr(lib, "seeksv_bgzf_compress"):
+                    pu8 = ctypes.POINTER(ctypes.c_uint8)
+                    lib.seeksv_bgzf_bound.restype = ctypes.c_int64
+                    lib.seeksv_bgzf_bound.argtypes = [ctypes.c_int64]
+                    lib.seeksv_bgzf_compress.restype = ctypes.c_int64
+                    lib.seeksv_bgzf_compress.argtypes = [
+                        pu8, ctypes.c_int64, ctypes.c_int, pu8,
+                        ctypes.c_int64, ctypes.c_int]
+                if hasattr(lib, "seeksv_pack_sim_records"):
+                    pu8 = ctypes.POINTER(ctypes.c_uint8)
+                    p32 = ctypes.POINTER(ctypes.c_int32)
+                    lib.seeksv_pack_sim_records.argtypes = [
+                        ctypes.c_int64, ctypes.c_int32, p32, p32, p32, p32,
+                        ctypes.POINTER(ctypes.c_uint16), p32,
+                        ctypes.POINTER(ctypes.c_int64), pu8, pu8,
+                        ctypes.c_int]
                 if hasattr(lib, "seeksv_bam_open"):
                     lib.seeksv_bam_open.restype = ctypes.c_void_p
                     lib.seeksv_bam_open.argtypes = [
@@ -225,6 +243,76 @@ def iter_bam_chunks_native(path: str, chunk_records: int,
             yield recs
     finally:
         lib.seeksv_bam_close(s)
+
+
+def pack_sim_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "seeksv_pack_sim_records")
+
+
+def pack_sim_records(read_len: int, tid, pos, mtid, mpos, flag, isize, qk,
+                     seq, n_threads: int = 0) -> np.ndarray:
+    """Pack fixed-shape simulator records (full-length-M reads, fixed
+    'sim_%010d' qnames) into BAM record bytes; mirrors the numpy assembly
+    in utils/simulate._write_sorted (asserted by tests/test_simulation.py)."""
+    lib = _load()
+    n = len(pos)
+    QN = 15
+    rec = 4 + 32 + QN + 4 + (read_len + 1) // 2 + read_len
+    out = np.empty(n * rec, np.uint8)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    pu8 = ctypes.POINTER(ctypes.c_uint8)
+    # keep-alive: materialize contiguous copies before taking pointers
+    tid_c = np.ascontiguousarray(tid, np.int32)
+    pos_c = np.ascontiguousarray(pos, np.int32)
+    mtid_c = np.ascontiguousarray(mtid, np.int32)
+    mpos_c = np.ascontiguousarray(mpos, np.int32)
+    flag_c = np.ascontiguousarray(flag, np.uint16)
+    isize_c = np.ascontiguousarray(isize, np.int32)
+    qk_c = np.ascontiguousarray(qk, np.int64)
+    seq_c = np.ascontiguousarray(seq, np.uint8)
+    lib.seeksv_pack_sim_records(
+        n, read_len, tid_c.ctypes.data_as(p32), pos_c.ctypes.data_as(p32),
+        mtid_c.ctypes.data_as(p32), mpos_c.ctypes.data_as(p32),
+        flag_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        isize_c.ctypes.data_as(p32),
+        qk_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        seq_c.ctypes.data_as(pu8), out.ctypes.data_as(pu8), n_threads)
+    return out
+
+
+def bgzf_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "seeksv_bgzf_compress")
+
+
+def bgzf_compress(data, level: int = 1, n_threads: int = 0) -> bytes:
+    """BGZF-frame and deflate `data` (threaded native path; the python
+    writer falls back to zlib when the library is absent)."""
+    lib = _load()
+    src = np.frombuffer(data, np.uint8)
+    n = len(src)
+    cap = int(lib.seeksv_bgzf_bound(n))
+    out = np.empty(cap, np.uint8)
+    pu8 = ctypes.POINTER(ctypes.c_uint8)
+    written = lib.seeksv_bgzf_compress(
+        src.ctypes.data_as(pu8), n, level, out.ctypes.data_as(pu8), cap,
+        n_threads)
+    if written < 0:
+        raise RuntimeError("bgzf compression overflow")
+    return out[:written].tobytes()
+
+
+def rec_offsets(recs) -> Optional[np.ndarray]:
+    """Decompressed-stream record offsets ([n+1] int64) + header size for
+    a natively decoded whole-file BamRecords; None when unavailable."""
+    owner = getattr(recs, "owner", None)
+    if owner is None or not hasattr(owner, "handle"):
+        return None
+    s = owner.handle.contents
+    if not s.rec_off:
+        return None
+    return _view(s.rec_off, int(s.n) + 1, np.int64), int(s.body_off)
 
 
 def sw_available() -> bool:
