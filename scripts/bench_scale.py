@@ -169,7 +169,15 @@ def main():
                          "parity check; for RSS/device-fraction runs)")
     ap.add_argument("--out", default=None,
                     help="append the JSON result line to this file")
+    ap.add_argument("--cpu-jax", action="store_true",
+                    help="pin jax to the CPU backend (e.g. when the "
+                         "tunneled TPU is unreachable); the engine then "
+                         "keeps all extension work on the native host "
+                         "kernels")
     args = ap.parse_args()
+    if args.cpu_jax:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     G = int(args.genome_mb * 1e6)
     key = (f"scale-G{G}-c{args.coverage}-l{args.read_len}-s{args.seed}"
            f"-e{args.events}{'-rep' if args.repeats else ''}")

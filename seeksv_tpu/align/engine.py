@@ -367,9 +367,19 @@ class BatchAligner(Aligner):
             if self.shard_mesh is not None:
                 n_rows = -(-n_jobs // self.shard_mesh.size) \
                     * self.shard_mesh.size
+            def _accel_present():
+                # the crossover calibration is measured against a real
+                # accelerator; with a CPU-only jax the native host kernel
+                # always wins — never dispatch sideways to the XLA-CPU scan
+                try:
+                    import jax
+                    return jax.devices()[0].platform != "cpu"
+                except Exception:
+                    return False
             if (not force_device and self.shard_mesh is None
-                    and n_jobs * LQ * LT * 2
-                    < self._calibrated_min_device_cells()):
+                    and (n_jobs * LQ * LT * 2
+                         < self._calibrated_min_device_cells()
+                         or not _accel_present())):
                 # host path: same batched structure; native C++ kernel
                 # (csrc) when built, numpy mirror otherwise — both exact
                 # matches of the device kernels (tests/test_native.py)
