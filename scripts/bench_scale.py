@@ -53,6 +53,10 @@ def build_dataset(root, G, cov, read_len, seed, n_events, with_repeats):
         ln = int(rng.integers(200, 5_000))
         (dels if rng.random() < 0.65 else invs).append((int(p), int(p) + ln))
     donor = build_donor(ref, deletions=dels, inversions=invs)
+    with open(os.path.join(root, "truth.json"), "w") as f:
+        json.dump([{"type": t[0], "up_chrom": t[1], "up": int(t[2]),
+                    "down_chrom": t[3], "down": int(t[4])}
+                   for t in donor.truth], f)
     insert_mean = max(500, 3 * read_len)
     t0 = time.time()
     simulate_reads(donor, ["chr17"], [G], os.path.join(root, "sim.bam"),
@@ -204,6 +208,33 @@ def main():
                     ours = st
                 if _ == 0:
                     ours_sv = sv_rows(os.path.join(d2, "ours.sv"))
+        # embedded-truth DEL recall (exact breakpoint coordinates; the
+        # parity channel for --skip-reference runs)
+        truth_recall = None
+        tpath = os.path.join(root, "truth.json")
+        if os.path.exists(tpath):
+            with open(tpath) as f:
+                truth = json.load(f)
+            calls = []
+            for r in ours_sv:
+                fl = r.split("\t")
+                calls.append((fl[0], int(fl[1]), fl[4], int(fl[5])))
+            dels = [t for t in truth if t["type"] == "DEL"]
+            # +-50bp fuzzy match, the reference's own comparison window
+            # (svcompare.cpp:330 MergeNear) — microhomology shifts both
+            # breakends under the default -l 50 merge
+            import numpy as _np
+            cu = _np.asarray([c[1] for c in calls], _np.int64)
+            cd = _np.asarray([c[3] for c in calls], _np.int64)
+            hit = 0
+            for t in dels:
+                m = (_np.abs(cu - t["up"]) <= 50) \
+                    & (_np.abs(cd - t["down"]) <= 50)
+                if any(m[i] and calls[i][0] == t["up_chrom"]
+                       and calls[i][2] == t["down_chrom"]
+                       for i in _np.nonzero(m)[0]):
+                    hit += 1
+            truth_recall = round(hit / max(len(dels), 1), 4)
         if ref_sv is not None:
             exact = ours_sv == ref_sv
             # fall back to call-coordinate comparison if text differs (the
@@ -228,7 +259,7 @@ def main():
         "n_records": n,
         "genome_mb": args.genome_mb, "coverage": args.coverage,
         "read_len": args.read_len, "stream": args.stream,
-        "parity": parity,
+        "parity": parity, "truth_del_recall": truth_recall,
         "peak_rss_mb": round(resource.getrusage(
             resource.RUSAGE_SELF).ru_maxrss / 1024, 1),
         "ours_stages_s": {k: round(v, 3) for k, v in ours.items()},

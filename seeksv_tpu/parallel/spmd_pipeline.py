@@ -720,7 +720,7 @@ def spmd_discordant_counts(mesh, counter: DiscordantCounter,
         if rng is None or end_w <= beg_w or mtid == -1:
             continue
         tlo, thi = rng
-        posv = recs.pos[tlo:thi]
+        posv = counter.pos64[tlo:thi]
         h2 = tlo + int(np.searchsorted(posv, end_w, "left"))
         l2 = tlo + int(np.searchsorted(
             posv, beg_w - counter.tid_max_span[tid], "right"))

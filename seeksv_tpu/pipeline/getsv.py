@@ -483,13 +483,17 @@ class DiscordantCounter:
             base &= ~hard
         self.base_ok = np.asarray(base)
         self.end = end
+        # int64 copy of pos made ONCE: searchsorted with python-int keys
+        # silently promotes+copies an int32 array per call — at 30M
+        # records that turned each window probe into a 200MB memcpy
+        self.pos64 = np.asarray(recs.pos, np.int64)
         # per-tid sorted views (BAM is coordinate sorted)
         self.tid_ranges: Dict[int, Tuple[int, int]] = {}
         # per-tid max reference span: a record at pos p can only overlap
         # beg if p > beg - max_span, which bounds the window slice from
         # below (equivalence: dropped records all fail `end > beg`)
         self.tid_max_span: Dict[int, int] = {}
-        tids = np.asarray(recs.tid)
+        tids = np.asarray(recs.tid, np.int64)
         span = self.end - recs.pos
         for t in range(len(recs.ref_names)):
             lo = int(np.searchsorted(tids, t, "left"))
@@ -520,7 +524,7 @@ class DiscordantCounter:
         if rng is None or end <= beg:
             return 0
         lo, hi = rng
-        pos = self.recs.pos[lo:hi]
+        pos = self.pos64[lo:hi]
         # overlap predicate of bam_iter_query: pos < end && read_end > beg
         hi2 = lo + int(np.searchsorted(pos, end, "left"))
         lo2 = lo + int(np.searchsorted(pos, beg - self.tid_max_span[tid],
