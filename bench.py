@@ -44,9 +44,38 @@ def run_pipeline(tmpdir: str):
     return recs.n, dt
 
 
+def _ensure_responsive_backend(timeout_s: float = 45.0) -> None:
+    """The tunneled TPU backend can wedge mid-session (a dispatch never
+    returns; observed 2026-08-21: even a 1k matmul roundtrip hangs).  Probe
+    the default backend in a SUBPROCESS with a hard timeout — the parent
+    must not import jax first, or the wedged backend gets cached — and pin
+    this process to the CPU backend when the probe fails, so the bench
+    measures the host path instead of hanging forever."""
+    import subprocess
+    if os.environ.get("JAX_PLATFORMS"):
+        return
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             # a bulk transfer, not a scalar ping: the wedge mode observed
+             # leaves the control path alive while MB-scale uploads hang
+             "import numpy, jax, jax.numpy as jnp;"
+             "x = jnp.asarray(numpy.ones((1024, 1024), numpy.float32));"
+             "numpy.asarray(x @ x)"],
+            timeout=timeout_s, capture_output=True)
+        if r.returncode == 0:
+            return
+    except subprocess.TimeoutExpired:
+        pass
+    print("# accelerator backend unresponsive; pinning jax to cpu",
+          file=sys.stderr)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+
 def main():
     import tempfile
 
+    _ensure_responsive_backend()
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/seeksv_tpu_jax"))
     try:
