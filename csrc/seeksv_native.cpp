@@ -23,6 +23,18 @@
 
 #include <zlib.h>
 
+#if defined(__GLIBC__)
+#include <malloc.h>
+// Slab buffers (hundreds of MB per chunk) churn every chunk; with the
+// default M_MMAP_THRESHOLD each cycle is mmap+fault-in+munmap.  Keeping
+// them on the main heap lets glibc reuse the pages across slabs (heap
+// high-water stays ~2 slabs, the prefetch depth).
+__attribute__((constructor)) static void seeksv_tune_malloc() {
+  mallopt(M_MMAP_THRESHOLD, 1 << 30);
+  mallopt(M_TRIM_THRESHOLD, 256 << 20);
+}
+#endif
+
 namespace {
 
 struct Block {
@@ -270,9 +282,16 @@ static BamSoA* fail(BamSoA* b, const char* msg) {
 // Allocates + fills every per-record SoA buffer of `out` from the record
 // pointers (each -> the 4-byte block_size prefix of one complete BAM
 // record).  Shared by the whole-file decoder and the chunked stream.
+// lazy_seq: skip the seq unpack + qual copy for records that are mapped
+// with a mapped mate and have no soft-clipped end — the ~98% of records
+// whose bases no consumer of the streaming path ever reads (the
+// reference gets the same effect by keeping seq 4-bit packed in bam1_t
+// and only touching clipped reads, clip_reads.cpp:112).  seq_off stays
+// exact for every record; the skipped rows are simply uninitialised.
 static void fill_records(const std::vector<const uint8_t*>& rec_ptrs,
                          BamSoA* out, int n_threads,
-                         const uint8_t* base = nullptr) {
+                         const uint8_t* base = nullptr,
+                         int lazy_seq = 0) {
   const int64_t n = (int64_t)rec_ptrs.size();
   out->rec_off = (int64_t*)malloc(8 * (n + 1));
   if (base != nullptr) {
@@ -377,15 +396,27 @@ static void fill_records(const std::vector<const uint8_t*>& rec_ptrs,
       memcpy(out->qnames + out->qname_off[i], body, l_read_name - 1);
       body += l_read_name;
       memcpy(out->cig + out->cig_off[i], body, 4 * (size_t)n_cigar);
+      bool need_seq = true;
+      if (lazy_seq) {
+        need_seq = (flag & 0xC) != 0;  // unmapped or mate-unmapped
+        if (!need_seq && n_cigar) {
+          uint32_t c0, cl;
+          memcpy(&c0, body, 4);
+          memcpy(&cl, body + 4 * ((size_t)n_cigar - 1), 4);
+          need_seq = (c0 & 0xF) == 4 || (cl & 0xF) == 4;  // soft clip
+        }
+      }
       body += 4 * (size_t)n_cigar;
-      uint8_t* sdst = out->seq + out->seq_off[i];
-      const int32_t half = l_seq >> 1;
-      for (int32_t k = 0; k < half; k++)
-        memcpy(sdst + 2 * k, &kPairLut.v[body[k]], 2);
-      if (l_seq & 1) sdst[l_seq - 1] = (uint8_t)kNt16[body[half] >> 4];
-      body += (l_seq + 1) / 2;
-      memcpy(out->qual + out->seq_off[i], body, (size_t)l_seq);
-      body += l_seq;
+      if (need_seq) {
+        uint8_t* sdst = out->seq + out->seq_off[i];
+        const int32_t half = l_seq >> 1;
+        for (int32_t k = 0; k < half; k++)
+          memcpy(sdst + 2 * k, &kPairLut.v[body[k]], 2);
+        if (l_seq & 1) sdst[l_seq - 1] = (uint8_t)kNt16[body[half] >> 4];
+        memcpy(out->qual + out->seq_off[i], body + (l_seq + 1) / 2,
+               (size_t)l_seq);
+      }
+      body += (l_seq + 1) / 2 + l_seq;
       out->xc[i] = (body < rend) ? aux_xc(body, rend) : 0;
     }
   };
@@ -605,7 +636,9 @@ trunc:
 
 // Next chunk of up to max_records records; out->n == 0 at clean EOF;
 // out->error set on failure.  Chunk boundaries fall between records only.
-extern "C" BamSoA* seeksv_bam_next(BamStream* s, int64_t max_records) {
+// decode_flags bit0: lazy seq/qual (see fill_records).
+static BamSoA* bam_next_impl(BamStream* s, int64_t max_records,
+                             int32_t decode_flags) {
   BamSoA* out = (BamSoA*)calloc(1, sizeof(BamSoA));
   std::vector<const uint8_t*> rec_ptrs;
   size_t pos = 0;
@@ -638,9 +671,18 @@ extern "C" BamSoA* seeksv_bam_next(BamStream* s, int64_t max_records) {
   out->ref_names_len = (int64_t)s->ref_names.size();
   out->ref_names = (uint8_t*)malloc(s->ref_names.size() ? s->ref_names.size() : 1);
   memcpy(out->ref_names, s->ref_names.data(), s->ref_names.size());
-  fill_records(rec_ptrs, out, s->n_threads);
+  fill_records(rec_ptrs, out, s->n_threads, nullptr, decode_flags & 1);
   s->dbuf.erase(s->dbuf.begin(), s->dbuf.begin() + (ptrdiff_t)pos);
   return out;
+}
+
+extern "C" BamSoA* seeksv_bam_next(BamStream* s, int64_t max_records) {
+  return bam_next_impl(s, max_records, 0);
+}
+
+extern "C" BamSoA* seeksv_bam_next2(BamStream* s, int64_t max_records,
+                                    int32_t decode_flags) {
+  return bam_next_impl(s, max_records, decode_flags);
 }
 
 extern "C" void seeksv_bam_close(BamStream* s) {
@@ -860,6 +902,46 @@ void seeksv_coverage_diff(const int64_t* starts, const int64_t* ends,
     if (e > len) e = len;
     diff[s] += weights[i];
     diff[e] -= weights[i];
+  }
+}
+
+// Single-pass pileup-depth accumulation straight from the decoded SoA
+// columns (ref role: bam2depth.cpp:75-129): for every record passing the
+// mapQ gate and BAM_DEF_MASK, each M/=/X cigar segment contributes
+// diff[start] += 1, diff[end] -= 1 into one flat per-genome diff buffer
+// (tid_base[t] = offset of chromosome t; each chromosome owns len+1
+// slots so the end-slot of a full-length segment stays in range).
+// Replaces the numpy per-op expansion (repeat/cumsum over every cigar op)
+// that cost ~8 s per 28M records on the streaming stats path.
+void seeksv_depth_diff_soa(const int32_t* flag, const int32_t* tid,
+                           const int32_t* pos, const int32_t* mapq,
+                           const uint32_t* cig, const int64_t* cig_off,
+                           int64_t n, int32_t min_mapq,
+                           const int64_t* tid_base, int32_t n_refs,
+                           const int32_t* ref_lens, int32_t* diff) {
+  // BAM_DEF_MASK = UNMAP|SECONDARY|QCFAIL|DUP (ref: sam/bam.h:124)
+  constexpr int32_t kDefMask = 0x4 | 0x100 | 0x200 | 0x400;
+  for (int64_t i = 0; i < n; i++) {
+    if (mapq[i] < min_mapq || (flag[i] & kDefMask) != 0) continue;
+    const int32_t t = tid[i];
+    if (t < 0 || t >= n_refs) continue;
+    const int64_t base = tid_base[t];
+    const int64_t L = ref_lens[t];
+    int64_t p = pos[i];
+    for (int64_t c = cig_off[i]; c < cig_off[i + 1]; c++) {
+      const uint32_t op = cig[c] & 0xF;
+      const int64_t len = cig[c] >> 4;
+      // M/=/X contribute depth; M/D/N/=/X consume reference
+      if (op == 0 || op == 7 || op == 8) {
+        int64_t s = p < 0 ? 0 : (p > L ? L : p);
+        int64_t e = p + len < 0 ? 0 : (p + len > L ? L : p + len);
+        diff[base + s] += 1;
+        diff[base + e] -= 1;
+        p += len;
+      } else if (op == 2 || op == 3) {
+        p += len;
+      }
+    }
   }
 }
 

@@ -58,29 +58,47 @@ class Aligner:
         """Build (or load a cached) k-mer index for a reference fasta.
         The cache lives under ~/.cache/seeksv_tpu (keyed by the fasta's
         absolute path, invalidated by its mtime) — never next to the
-        fasta, which may live in a read-only tree."""
+        fasta, which may live in a read-only tree.
+
+        The on-disk format is raw .npy files in a per-index directory so
+        the big arrays (keys+positions: 1.6 GB at 100 Mbp) are loaded
+        with mmap_mode='r' — the load is lazy page-in instead of a
+        multi-second decompress+copy (this was ~10 s of a 14.6 s realign
+        stage at 100 Mbp before; the page cache keeps repeat runs hot)."""
         import hashlib
+        import json
         import os
         cdir = os.path.join(os.path.expanduser("~"), ".cache", "seeksv_tpu")
         key = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:16]
-        cpath = os.path.join(cdir, f"ksi-{key}-k{k}.npz")
-        if cache and os.path.exists(cpath) and \
-                os.path.getmtime(cpath) >= os.path.getmtime(path):
+        cd = os.path.join(cdir, f"ksi2-{key}-k{k}")
+        meta_p = os.path.join(cd, "meta.json")
+        if cache and os.path.exists(meta_p) and \
+                os.path.getmtime(meta_p) >= os.path.getmtime(path):
             try:
-                z = np.load(cpath, allow_pickle=True)
+                with open(meta_p) as f:
+                    meta = json.load(f)
                 return cls(KmerIndex(
-                    k, z["ref"], list(z["chrom_names"]),
-                    z["chrom_starts"], z["keys"], z["positions"]))
+                    k,
+                    np.load(os.path.join(cd, "ref.npy"), mmap_mode="r"),
+                    list(meta["chrom_names"]),
+                    np.asarray(meta["chrom_starts"], np.int64),
+                    np.load(os.path.join(cd, "keys.npy"), mmap_mode="r"),
+                    np.load(os.path.join(cd, "positions.npy"),
+                            mmap_mode="r")))
             except Exception:
                 pass
         idx = KmerIndex.build(read_fasta(path), k=k)
         if cache:
             try:
-                os.makedirs(cdir, exist_ok=True)
-                np.savez(cpath, k=k, ref=idx.ref,
-                         chrom_names=np.asarray(idx.chrom_names, object),
-                         chrom_starts=idx.chrom_starts, keys=idx.keys,
-                         positions=idx.positions)
+                os.makedirs(cd, exist_ok=True)
+                np.save(os.path.join(cd, "ref.npy"), idx.ref)
+                np.save(os.path.join(cd, "keys.npy"), idx.keys)
+                np.save(os.path.join(cd, "positions.npy"), idx.positions)
+                with open(meta_p + ".tmp", "w") as f:
+                    json.dump({"k": k, "chrom_names": list(idx.chrom_names),
+                               "chrom_starts":
+                                   [int(v) for v in idx.chrom_starts]}, f)
+                os.replace(meta_p + ".tmp", meta_p)  # meta last: commit point
             except OSError:
                 pass
         return cls(idx)

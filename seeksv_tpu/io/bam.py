@@ -507,17 +507,24 @@ def iter_bam_chunks_python(path: str, chunk_records: int):
             yield parser.emit()
 
 
-def read_bam_chunks(path: str, chunk_records: int = 2_000_000):
+def read_bam_chunks(path: str, chunk_records: int = 2_000_000,
+                    lazy_seq: bool = False):
     """Chunked, bounded-memory BAM decode (native stream reader when
     built, python fallback otherwise): yields BamRecords slabs of up to
     chunk_records records in file order.  This is the framework's
     streaming-ingestion contract — the explicit form of the reference's
-    per-chromosome flush memory bound (ref: clip_reads.h:423-446)."""
+    per-chromosome flush memory bound (ref: clip_reads.h:423-446).
+
+    lazy_seq=True (native only; python fallback decodes everything) skips
+    base/qual decode for records with no soft clip and both mates mapped —
+    safe when consumers only read bases of clipped/unmapped records, which
+    is the getclip+stats streaming contract."""
     if path.endswith(".bam"):
         try:
             from . import native
             if native.stream_available():
-                yield from native.iter_bam_chunks_native(path, chunk_records)
+                yield from native.iter_bam_chunks_native(
+                    path, chunk_records, lazy_seq=lazy_seq)
                 return
         except ImportError:
             pass

@@ -107,6 +107,14 @@ def _load() -> Optional[ctypes.CDLL]:
                 if hasattr(lib, "seeksv_coverage_depth"):
                     lib.seeksv_coverage_depth.argtypes = \
                         lib.seeksv_coverage_diff.argtypes
+                if hasattr(lib, "seeksv_depth_diff_soa"):
+                    p32 = ctypes.POINTER(ctypes.c_int32)
+                    p64 = ctypes.POINTER(ctypes.c_int64)
+                    lib.seeksv_depth_diff_soa.argtypes = [
+                        p32, p32, p32, p32,
+                        ctypes.POINTER(ctypes.c_uint32), p64,
+                        ctypes.c_int64, ctypes.c_int32, p64,
+                        ctypes.c_int32, p32, p32]
                 if hasattr(lib, "seeksv_bgzf_compress"):
                     pu8 = ctypes.POINTER(ctypes.c_uint8)
                     lib.seeksv_bgzf_bound.restype = ctypes.c_int64
@@ -131,6 +139,10 @@ def _load() -> Optional[ctypes.CDLL]:
                     lib.seeksv_bam_next.argtypes = [ctypes.c_void_p,
                                                     ctypes.c_int64]
                     lib.seeksv_bam_close.argtypes = [ctypes.c_void_p]
+                if hasattr(lib, "seeksv_bam_next2"):
+                    lib.seeksv_bam_next2.restype = ctypes.POINTER(_BamSoA)
+                    lib.seeksv_bam_next2.argtypes = [
+                        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
                 if hasattr(lib, "seeksv_sw_extend_batch"):
                     p32 = ctypes.POINTER(ctypes.c_int32)
                     lib.seeksv_sw_extend_batch.argtypes = [
@@ -221,12 +233,17 @@ def stream_available() -> bool:
 
 
 def iter_bam_chunks_native(path: str, chunk_records: int,
-                           n_threads: int = 0):
+                           n_threads: int = 0, lazy_seq: bool = False):
     """Bounded-memory chunked decode: yields BamRecords slabs of up to
     chunk_records records, in file order (the streaming memory contract
     the reference gets from per-chromosome flushes, clip_reads.h:423-446).
     Peak footprint per chunk = one compressed read window + the
-    decompressed carry + the chunk's SoA buffers."""
+    decompressed carry + the chunk's SoA buffers.
+
+    lazy_seq=True skips the seq/qual decode for records that are fully
+    mapped with no soft-clipped end — valid only when the consumer reads
+    bases exclusively from clipped/unmapped records (GetclipStream +
+    StreamStats do; the skipped rows are uninitialised)."""
     lib = _load()
     if lib is None or not hasattr(lib, "seeksv_bam_open"):
         raise RuntimeError("native stream reader not built")
@@ -234,9 +251,13 @@ def iter_bam_chunks_native(path: str, chunk_records: int,
     s = lib.seeksv_bam_open(path.encode(), n_threads, err)
     if not s:
         raise IOError(f"{path}: {err.value.decode()}")
+    use2 = lazy_seq and hasattr(lib, "seeksv_bam_next2")
     try:
         while True:
-            h = lib.seeksv_bam_next(s, chunk_records)
+            if use2:
+                h = lib.seeksv_bam_next2(s, chunk_records, 1)
+            else:
+                h = lib.seeksv_bam_next(s, chunk_records)
             recs = _soa_to_records(lib, h, path)
             if recs.n == 0:
                 break
@@ -385,6 +406,40 @@ def coverage_depth(starts: np.ndarray, ends: np.ndarray,
         w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         len(s), depth.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), L)
     return depth[:L]
+
+
+def depth_diff_soa_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "seeksv_depth_diff_soa")
+
+
+def depth_diff_soa(recs, min_mapq: int, tid_base: np.ndarray,
+                   diff: np.ndarray) -> None:
+    """Accumulate the pileup-depth difference contributions of every
+    record in `recs` into the flat per-genome diff buffer (layout:
+    chromosome t owns diff[tid_base[t] : tid_base[t] + ref_lens[t] + 1]).
+    Single native pass over the SoA columns — the streaming-stats
+    replacement for depth_segments + coverage_diff
+    (ref: bam2depth.cpp:75-129)."""
+    lib = _load()
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    flag = np.ascontiguousarray(recs.flag, np.int32)
+    tid = np.ascontiguousarray(recs.tid, np.int32)
+    pos = np.ascontiguousarray(recs.pos, np.int32)
+    mapq = np.ascontiguousarray(recs.mapq, np.int32)
+    cig = np.ascontiguousarray(recs.cig, np.uint32)
+    cig_off = np.ascontiguousarray(recs.cig_off, np.int64)
+    tb = np.ascontiguousarray(tid_base, np.int64)
+    rl = np.ascontiguousarray(recs.ref_lens, np.int32)
+    assert diff.dtype == np.int32 and diff.flags.c_contiguous
+    lib.seeksv_depth_diff_soa(
+        flag.ctypes.data_as(p32), tid.ctypes.data_as(p32),
+        pos.ctypes.data_as(p32), mapq.ctypes.data_as(p32),
+        cig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cig_off.ctypes.data_as(p64), recs.n, min_mapq,
+        tb.ctypes.data_as(p64), len(recs.ref_lens),
+        rl.ctypes.data_as(p32), diff.ctypes.data_as(p32))
 
 
 def coverage_diff(starts: np.ndarray, ends: np.ndarray,

@@ -56,15 +56,26 @@ def realign_clips(ref_fa: str, clip_fq: str, out_sam: str,
                   aligner: Optional[BatchAligner] = None,
                   device_seed: bool = False,
                   device_align: bool = False) -> BatchAligner:
+    t0 = time.perf_counter()
     if aligner is None:
         aligner = BatchAligner.from_fasta(ref_fa)
+    # full stage accounting: aligner.timings must sum to the realign
+    # stage wall (VERDICT r2 weak #2 — 12.4 s of index load was invisible)
+    aligner.timings["index_load_s"] = \
+        aligner.timings.get("index_load_s", 0.0) + time.perf_counter() - t0
     if device_seed:
         aligner.device_seed = True
     if device_align:
         aligner.device_align = True
+    t0 = time.perf_counter()
     seqs, quals = _read_fastq(clip_fq)
+    aligner.timings["read_fq_s"] = \
+        aligner.timings.get("read_fq_s", 0.0) + time.perf_counter() - t0
     alns = aligner.batch_align(seqs)
+    t0 = time.perf_counter()
     write_sam(aligner, seqs, quals, alns, out_sam)
+    aligner.timings["write_sam_s"] = \
+        aligner.timings.get("write_sam_s", 0.0) + time.perf_counter() - t0
     return aligner
 
 

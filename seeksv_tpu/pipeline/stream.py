@@ -66,6 +66,10 @@ class StreamStats:
         self._isize_parts: List[np.ndarray] = []
         self._isize_count = 0
         self._cov_diff: Dict[int, np.ndarray] = {}
+        # native fused path: one flat diff buffer over the whole genome
+        # (chromosome t owns [tid_base[t], tid_base[t]+len+1))
+        self._flat_diff: Optional[np.ndarray] = None
+        self._tid_base: Optional[np.ndarray] = None
         self._cols: Dict[str, List[np.ndarray]] = {
             k: [] for k in ("pos", "mpos", "mtid", "l_qseq", "flag", "mapq",
                             "isize", "tid", "end", "hard")}
@@ -94,20 +98,32 @@ class StreamStats:
             self._isize_parts.append(np.asarray(vals, np.int32))
             self._isize_count += len(vals)
 
-        # coverage diffs per tid (ref: bam2depth.cpp:75-129)
-        seg_start, seg_end, seg_tid = depth_segments(recs, self.min_mapq)
-        from ..io.native import coverage_diff
-        for t in np.unique(seg_tid):
-            t = int(t)
-            L = int(recs.ref_lens[t])
-            sel = seg_tid == t
-            d = coverage_diff(seg_start[sel], seg_end[sel],
-                              np.ones(int(sel.sum()), np.int32), L)
-            acc = self._cov_diff.get(t)
-            if acc is None:
-                self._cov_diff[t] = d
-            else:
-                acc += d
+        # coverage diffs per tid (ref: bam2depth.cpp:75-129): single fused
+        # native pass over the SoA when built; numpy segment expansion
+        # otherwise (identical totals, tests/test_stream.py)
+        from ..io import native
+        if native.depth_diff_soa_available():
+            if self._flat_diff is None:
+                lens = np.asarray(recs.ref_lens, np.int64)
+                self._tid_base = np.concatenate(
+                    [[0], np.cumsum(lens + 1)])[:-1]
+                self._flat_diff = np.zeros(int((lens + 1).sum()), np.int32)
+            native.depth_diff_soa(recs, self.min_mapq, self._tid_base,
+                                  self._flat_diff)
+        else:
+            seg_start, seg_end, seg_tid = depth_segments(recs, self.min_mapq)
+            for t in np.unique(seg_tid):
+                t = int(t)
+                L = int(recs.ref_lens[t])
+                sel = seg_tid == t
+                d = native.coverage_diff(seg_start[sel], seg_end[sel],
+                                         np.ones(int(sel.sum()), np.int32),
+                                         L)
+                acc = self._cov_diff.get(t)
+                if acc is None:
+                    self._cov_diff[t] = d
+                else:
+                    acc += d
 
         # compact discordant-counting columns.  NOTE: explicit copies — the
         # slab's arrays are zero-copy views into the native decoder's
@@ -148,6 +164,11 @@ class StreamStats:
         out: Dict[int, np.ndarray] = {}
         for t in range(len(self.ref_names)):
             L = int(self.ref_lens[t])
+            if self._flat_diff is not None:
+                b = int(self._tid_base[t])
+                out[t] = np.cumsum(self._flat_diff[b:b + L + 1],
+                                   dtype=np.int32)[:L]
+                continue
             d = self._cov_diff.get(t)
             if d is None:
                 out[t] = np.zeros(L, np.int32)
@@ -167,13 +188,60 @@ class StreamStats:
 
 
 def scan_bam(bam_path: str, chunk_records: int,
-             consumers: list) -> None:
+             consumers: list, prefetch: bool = True,
+             lazy_seq: bool = True) -> None:
     """One decode pass feeding every consumer (objects with .process(recs));
-    slabs are dropped after each round, bounding memory to one slab +
-    consumer state."""
-    for recs in read_bam_chunks(bam_path, chunk_records):
-        for cns in consumers:
-            cns.process(recs)
+    slabs are dropped after each round, bounding memory to two slabs +
+    consumer state.
+
+    prefetch=True decodes slab k+1 on a background thread while the
+    consumers process slab k: the native decoder (ctypes -> C++ threads)
+    releases the GIL, so decode wall-clock overlaps the Python/numpy
+    consumer work — at 100 Mbp/30x this hides ~12 s of a ~28 s pass.
+
+    lazy_seq=True skips base decode for unclipped fully-mapped records
+    (GetclipStream/StreamStats never read those bases; pass False for
+    consumers that read every record's seq/qual)."""
+    if not prefetch:
+        for recs in read_bam_chunks(bam_path, chunk_records,
+                                    lazy_seq=lazy_seq):
+            for cns in consumers:
+                cns.process(recs)
+        return
+    import queue
+    import threading
+    q: "queue.Queue" = queue.Queue(maxsize=1)
+    _SENTINEL = object()
+
+    def producer():
+        try:
+            for recs in read_bam_chunks(bam_path, chunk_records,
+                                        lazy_seq=lazy_seq):
+                q.put(recs)
+            q.put(_SENTINEL)
+        except BaseException as e:  # surfaced in the consumer loop
+            q.put(e)
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            for cns in consumers:
+                cns.process(item)
+            del item  # drop the slab before blocking on the next one
+    finally:
+        # unblock a producer stuck on put() if the consumer raised
+        while th.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            th.join(timeout=0.05)
 
 
 def run_pipeline_streaming(ref_fa: str, bam: str, prefix: str, *,
