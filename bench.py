@@ -44,45 +44,60 @@ def run_pipeline(tmpdir: str):
     return recs.n, dt
 
 
-def _ensure_responsive_backend(timeout_s: float = 45.0) -> None:
+def _ensure_responsive_backend(timeout_s: float = 45.0) -> dict:
     """The tunneled TPU backend can wedge mid-session (a dispatch never
     returns; observed 2026-08-21: even a 1k matmul roundtrip hangs).  Probe
     the default backend in a SUBPROCESS with a hard timeout — the parent
     must not import jax first, or the wedged backend gets cached — and pin
     this process to the CPU backend when the probe fails, so the bench
-    measures the host path instead of hanging forever."""
+    measures the host path instead of hanging forever.
+
+    Returns provenance for the emitted JSON — {pinned_cpu, probe[,
+    probe_error]} — so a host-path number is distinguishable from a chip
+    number downstream (ADVICE r2)."""
     import subprocess
     if os.environ.get("JAX_PLATFORMS"):
-        return
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             # a bulk transfer, not a scalar ping: the wedge mode observed
-             # leaves the control path alive while MB-scale uploads hang
-             "import numpy, jax, jax.numpy as jnp;"
-             "x = jnp.asarray(numpy.ones((1024, 1024), numpy.float32));"
-             "numpy.asarray(x @ x)"],
-            timeout=timeout_s, capture_output=True)
-        if r.returncode == 0:
-            return
-    except subprocess.TimeoutExpired:
-        pass
-    print("# accelerator backend unresponsive; pinning jax to cpu",
-          file=sys.stderr)
+        return {"pinned_cpu": os.environ["JAX_PLATFORMS"] == "cpu",
+                "probe": "preset-env"}
+    probe_error = None
+    for attempt in range(2):  # one retry: first-touch backend init can
+        try:                  # legitimately exceed the timeout once
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 # a bulk transfer, not a scalar ping: the wedge mode
+                 # observed leaves the control path alive while MB-scale
+                 # uploads hang
+                 "import numpy, jax, jax.numpy as jnp;"
+                 "x = jnp.asarray(numpy.ones((1024, 1024), numpy.float32));"
+                 "numpy.asarray(x @ x)"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return {"pinned_cpu": False, "probe": "ok"}
+            probe_error = (f"exit {r.returncode}: "
+                           f"{r.stderr.decode(errors='replace')[-400:]}")
+            break  # clean non-zero exit (import error, OOM) won't heal
+        except subprocess.TimeoutExpired:
+            probe_error = f"timeout >{timeout_s}s (attempt {attempt + 1})"
+    print(f"# accelerator backend probe failed ({probe_error}); "
+          f"pinning jax to cpu", file=sys.stderr)
     os.environ["JAX_PLATFORMS"] = "cpu"
+    return {"pinned_cpu": True, "probe": "failed", "probe_error": probe_error}
 
 
 def main():
     import tempfile
 
-    _ensure_responsive_backend()
+    backend_prov = _ensure_responsive_backend()
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/seeksv_tpu_jax"))
+    platform = device = None
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        platform = jax.devices()[0].platform
+        device = str(jax.devices()[0])
     except Exception:
         pass
 
@@ -101,6 +116,9 @@ def main():
         "value": round(value, 1),
         "unit": "reads/s",
         "vs_baseline": round(value / BASELINE_READS_PER_S, 4),
+        "jax_platform": platform,
+        "jax_device": device,
+        "backend_probe": backend_prov,
     }))
 
 

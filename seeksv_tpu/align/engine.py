@@ -77,14 +77,25 @@ class Aligner:
             try:
                 with open(meta_p) as f:
                     meta = json.load(f)
+                ptab_p = os.path.join(cd, "prefix.npy")
+                keys = np.load(os.path.join(cd, "keys.npy"), mmap_mode="r")
+                if os.path.exists(ptab_p):
+                    ptab = np.load(ptab_p, mmap_mode="r")
+                else:  # older cache dir: build + persist the bucket table
+                    ptab = KmerIndex.build_prefix_tab(keys, k)
+                    try:
+                        np.save(ptab_p, ptab)
+                    except OSError:
+                        pass
                 return cls(KmerIndex(
                     k,
                     np.load(os.path.join(cd, "ref.npy"), mmap_mode="r"),
                     list(meta["chrom_names"]),
                     np.asarray(meta["chrom_starts"], np.int64),
-                    np.load(os.path.join(cd, "keys.npy"), mmap_mode="r"),
+                    keys,
                     np.load(os.path.join(cd, "positions.npy"),
-                            mmap_mode="r")))
+                            mmap_mode="r"),
+                    ptab))
             except Exception:
                 pass
         idx = KmerIndex.build(read_fasta(path), k=k)
@@ -94,6 +105,7 @@ class Aligner:
                 np.save(os.path.join(cd, "ref.npy"), idx.ref)
                 np.save(os.path.join(cd, "keys.npy"), idx.keys)
                 np.save(os.path.join(cd, "positions.npy"), idx.positions)
+                np.save(os.path.join(cd, "prefix.npy"), idx.prefix_tab)
                 with open(meta_p + ".tmp", "w") as f:
                     json.dump({"k": k, "chrom_names": list(idx.chrom_names),
                                "chrom_starts":

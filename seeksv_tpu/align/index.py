@@ -20,6 +20,9 @@ for i, c in enumerate(b"ACGT"):
     ENCODE[c + 32] = i
 
 
+PREFIX_BITS = 24
+
+
 @dataclass
 class KmerIndex:
     k: int
@@ -28,6 +31,29 @@ class KmerIndex:
     chrom_starts: np.ndarray   # int64 [n_chrom+1] offsets into ref
     keys: np.ndarray           # uint64 sorted kmer hashes
     positions: np.ndarray      # int64 positions (concatenated coords), key-sorted
+    prefix_tab: np.ndarray = None  # int64 [2^p+1] bucket starts into keys
+
+    def __post_init__(self):
+        if self.prefix_tab is None:
+            self.prefix_tab = self.build_prefix_tab(self.keys, self.k)
+
+    @staticmethod
+    def _prefix_shift(k: int) -> int:
+        return max(0, 2 * k - PREFIX_BITS)
+
+    @classmethod
+    def build_prefix_tab(cls, keys: np.ndarray, k: int) -> np.ndarray:
+        """Bucket-start table over the top PREFIX_BITS of the 2k-bit
+        hash: prefix_tab[p] = first index in keys whose prefix >= p.
+        Bounds every key lookup to one bucket (avg ~6 entries at 100 Mbp)
+        instead of a 27-level binary search over the full table."""
+        shift = cls._prefix_shift(k)
+        nb = 1 << min(PREFIX_BITS, 2 * k)
+        prefixes = (np.arange(nb, dtype=np.uint64) << np.uint64(shift))
+        tab = np.empty(nb + 1, np.int64)
+        tab[:nb] = np.searchsorted(keys, prefixes, "left")
+        tab[nb] = len(keys)
+        return tab
 
     @classmethod
     def build(cls, seqs: Dict[str, np.ndarray], k: int = 19) -> "KmerIndex":
@@ -61,9 +87,42 @@ class KmerIndex:
             ok &= (pos + k <= s) | (pos >= s)
         return h[ok], pos[ok]
 
+    def _bounded_search(self, q: np.ndarray, side: str,
+                        lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        """Vectorized binary search of q within per-element [lo, hi)
+        bounds (= np.searchsorted(keys, q, side) given correct bounds).
+        Iteration count is log2 of the largest bucket, with each round one
+        gather — cache-friendly on the big memmapped key table."""
+        keys = self.keys
+        lo = lo.astype(np.int64, copy=True)
+        hi = hi.astype(np.int64, copy=True)
+        cap = max(len(keys) - 1, 0)
+        while True:
+            active = lo < hi
+            if not active.any():
+                return lo
+            mid = (lo + hi) >> 1
+            kv = keys[np.minimum(mid, cap)]
+            go_right = (kv < q) if side == "left" else (kv <= q)
+            adv = active & go_right
+            lo = np.where(adv, mid + 1, lo)
+            hi = np.where(active & ~go_right, mid, hi)
+
     def lookup(self, kmers: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """For an array of kmer hashes, return (lo, hi) ranges into
         self.positions (vectorized)."""
+        if len(kmers) == 0:
+            z = np.zeros(0, np.int64)
+            return z, z
+        if self.prefix_tab is not None and len(self.keys):
+            shift = self._prefix_shift(self.k)
+            p = (np.asarray(kmers, np.uint64)
+                 >> np.uint64(shift)).astype(np.int64)
+            b_lo = self.prefix_tab[p]
+            b_hi = self.prefix_tab[p + 1]
+            lo = self._bounded_search(kmers, "left", b_lo, b_hi)
+            hi = self._bounded_search(kmers, "right", lo, b_hi)
+            return lo, hi
         lo = np.searchsorted(self.keys, kmers, "left")
         hi = np.searchsorted(self.keys, kmers, "right")
         return lo, hi

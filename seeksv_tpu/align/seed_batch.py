@@ -47,8 +47,7 @@ def batch_candidates(idx: KmerIndex, reads: List[np.ndarray]
     ok &= (np.arange(nk)[None, :] + k) <= lens[:, None]
     job_of, off_of = np.nonzero(ok)
     hashes = h[job_of, off_of]
-    lo = np.searchsorted(idx.keys, hashes, "left")
-    hi = np.searchsorted(idx.keys, hashes, "right")
+    lo, hi = idx.lookup(hashes)
     cnt = hi - lo
     keep = (cnt > 0) & (cnt <= MAX_OCC)
     job_of, off_of, lo, cnt = job_of[keep], off_of[keep], lo[keep], cnt[keep]

@@ -107,6 +107,13 @@ def _load() -> Optional[ctypes.CDLL]:
                 if hasattr(lib, "seeksv_coverage_depth"):
                     lib.seeksv_coverage_depth.argtypes = \
                         lib.seeksv_coverage_diff.argtypes
+                if hasattr(lib, "seeksv_prefix_sum_i32"):
+                    p32 = ctypes.POINTER(ctypes.c_int32)
+                    p64 = ctypes.POINTER(ctypes.c_int64)
+                    lib.seeksv_prefix_sum_i32.argtypes = [
+                        p32, ctypes.c_int64, p32]
+                    lib.seeksv_prefix_excl_i64.argtypes = [
+                        p32, ctypes.c_int64, p64]
                 if hasattr(lib, "seeksv_depth_diff_soa"):
                     p32 = ctypes.POINTER(ctypes.c_int32)
                     p64 = ctypes.POINTER(ctypes.c_int64)
@@ -406,6 +413,33 @@ def coverage_depth(starts: np.ndarray, ends: np.ndarray,
         w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         len(s), depth.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), L)
     return depth[:L]
+
+
+def cumsum_i32(a: np.ndarray) -> np.ndarray:
+    """Inclusive int32 prefix sum (native when built; np.cumsum fallback)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "seeksv_prefix_sum_i32"):
+        return np.cumsum(a, dtype=np.int32)
+    a = np.ascontiguousarray(a, np.int32)
+    out = np.empty(len(a), np.int32)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    lib.seeksv_prefix_sum_i32(a.ctypes.data_as(p32), len(a),
+                              out.ctypes.data_as(p32))
+    return out
+
+
+def prefix_excl_i64(a: np.ndarray) -> np.ndarray:
+    """Exclusive int64 prefix sum of an int32 array: out[0]=0,
+    out[i+1]=sum(a[:i+1]); len(out) == len(a)+1 (the range-sum table)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "seeksv_prefix_excl_i64"):
+        return np.concatenate([[0], np.cumsum(a, dtype=np.int64)])
+    a = np.ascontiguousarray(a, np.int32)
+    out = np.empty(len(a) + 1, np.int64)
+    lib.seeksv_prefix_excl_i64(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
 
 
 def depth_diff_soa_available() -> bool:

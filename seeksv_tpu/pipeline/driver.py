@@ -55,7 +55,8 @@ def write_sam(aligner, seqs, quals, alns, path) -> None:
 def realign_clips(ref_fa: str, clip_fq: str, out_sam: str,
                   aligner: Optional[BatchAligner] = None,
                   device_seed: bool = False,
-                  device_align: bool = False) -> BatchAligner:
+                  device_align: bool = False,
+                  force_device: bool = False) -> BatchAligner:
     t0 = time.perf_counter()
     if aligner is None:
         aligner = BatchAligner.from_fasta(ref_fa)
@@ -71,7 +72,7 @@ def realign_clips(ref_fa: str, clip_fq: str, out_sam: str,
     seqs, quals = _read_fastq(clip_fq)
     aligner.timings["read_fq_s"] = \
         aligner.timings.get("read_fq_s", 0.0) + time.perf_counter() - t0
-    alns = aligner.batch_align(seqs)
+    alns = aligner.batch_align(seqs, force_device=force_device)
     t0 = time.perf_counter()
     write_sam(aligner, seqs, quals, alns, out_sam)
     aligner.timings["write_sam_s"] = \

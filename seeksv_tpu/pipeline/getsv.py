@@ -493,11 +493,13 @@ class DiscordantCounter:
         # beg if p > beg - max_span, which bounds the window slice from
         # below (equivalence: dropped records all fail `end > beg`)
         self.tid_max_span: Dict[int, int] = {}
-        tids = np.asarray(recs.tid, np.int64)
+        tids = np.asarray(recs.tid)
         span = self.end - recs.pos
         for t in range(len(recs.ref_names)):
-            lo = int(np.searchsorted(tids, t, "left"))
-            hi = int(np.searchsorted(tids, t, "right"))
+            # keys cast to the array dtype: a python-int key would promote
+            # (and copy) the whole 30M-element array per searchsorted
+            lo = int(np.searchsorted(tids, tids.dtype.type(t), "left"))
+            hi = int(np.searchsorted(tids, tids.dtype.type(t), "right"))
             if hi > lo:
                 self.tid_ranges[t] = (lo, hi)
                 self.tid_max_span[t] = int(span[lo:hi].max())
@@ -626,8 +628,8 @@ class DepthQuery:
         self.name2tid = {n: i for i, n in enumerate(recs.ref_names)}
         self.ref_lens = recs.ref_lens
         self.cov = cov if cov is not None else compute_coverage(recs, min_mapq)
-        self.prefix = {t: np.concatenate([[0], np.cumsum(c, dtype=np.int64)])
-                       for t, c in self.cov.items()}
+        from ..io.native import prefix_excl_i64
+        self.prefix = {t: prefix_excl_i64(c) for t, c in self.cov.items()}
 
     def point(self, chrom: str, pos1: int) -> int:
         t = self.name2tid.get(chrom)

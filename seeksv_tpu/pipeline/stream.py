@@ -55,6 +55,44 @@ class LightBam:
     hard: np.ndarray    # bool
 
 
+class _GrowCols:
+    """Preallocated growable SoA columns (doubling): appending slab
+    columns writes into one resident buffer, so finalizing is a zero-copy
+    slice instead of a 1 GB concatenate (page-fault-bound on this host)."""
+
+    _DTYPES = dict(flag=np.uint16, mapq=np.uint8, hard=bool)
+
+    def __init__(self, names):
+        self.names = names
+        self.cap = 0
+        self.n = 0
+        self.buf: Dict[str, np.ndarray] = {}
+
+    def _reserve(self, extra: int) -> None:
+        need = self.n + extra
+        if need <= self.cap:
+            return
+        new_cap = max(need, self.cap * 2, 4_000_000)
+        for k in self.names:
+            dt = self._DTYPES.get(k, np.int32)
+            nb = np.empty(new_cap, dt)
+            if self.n:
+                nb[:self.n] = self.buf[k][:self.n]
+            self.buf[k] = nb
+        self.cap = new_cap
+
+    def append(self, **cols) -> None:
+        m = len(next(iter(cols.values())))
+        self._reserve(m)
+        for k, v in cols.items():
+            self.buf[k][self.n:self.n + m] = v
+        self.n += m
+
+    def view(self, k: str) -> np.ndarray:
+        return self.buf[k][:self.n] if self.buf else \
+            np.zeros(0, self._DTYPES.get(k, np.int32))
+
+
 class StreamStats:
     """Single-pass accumulator over BamRecords slabs for everything getsv
     and somatic need from the original BAM (see module docstring).
@@ -70,9 +108,8 @@ class StreamStats:
         # (chromosome t owns [tid_base[t], tid_base[t]+len+1))
         self._flat_diff: Optional[np.ndarray] = None
         self._tid_base: Optional[np.ndarray] = None
-        self._cols: Dict[str, List[np.ndarray]] = {
-            k: [] for k in ("pos", "mpos", "mtid", "l_qseq", "flag", "mapq",
-                            "isize", "tid", "end", "hard")}
+        self._cols = _GrowCols(("pos", "mpos", "mtid", "l_qseq", "flag",
+                                "mapq", "isize", "tid", "end", "hard"))
         self.ref_names: List[str] = []
         self.ref_lens: List[int] = []
         self.n = 0
@@ -125,21 +162,14 @@ class StreamStats:
                 else:
                     acc += d
 
-        # compact discordant-counting columns.  NOTE: explicit copies — the
-        # slab's arrays are zero-copy views into the native decoder's
-        # buffers, which are freed when the slab is dropped after this call.
-        c = self._cols
-        c["pos"].append(np.array(recs.pos, np.int32, copy=True))
-        c["mpos"].append(np.array(recs.mpos, np.int32, copy=True))
-        c["mtid"].append(np.array(recs.mtid, np.int32, copy=True))
-        c["l_qseq"].append(np.array(recs.l_qseq, np.int32, copy=True))
-        c["flag"].append(recs.flag.astype(np.uint16))
-        c["mapq"].append(recs.mapq.astype(np.uint8))
-        c["isize"].append(np.array(recs.isize, np.int32, copy=True))
-        c["tid"].append(np.array(recs.tid, np.int32, copy=True))
-        c["end"].append((recs.pos
-                         + recs.ref_span(count_x=True)).astype(np.int32))
-        c["hard"].append(hard)
+        # compact discordant-counting columns, copied into the resident
+        # growable buffers (the slab's arrays are zero-copy views into the
+        # native decoder's buffers, freed when the slab is dropped).
+        self._cols.append(
+            pos=recs.pos, mpos=recs.mpos, mtid=recs.mtid,
+            l_qseq=recs.l_qseq, flag=recs.flag, mapq=recs.mapq,
+            isize=recs.isize, tid=recs.tid,
+            end=recs.pos + recs.ref_span(count_x=True), hard=hard)
 
     def insert_size(self) -> Tuple[int, int]:
         """Exact calculate_insert_size semantics over the accumulated
@@ -161,30 +191,27 @@ class StreamStats:
     def coverage(self) -> Dict[int, np.ndarray]:
         """Per-tid depth arrays (= pipeline.getsv.compute_coverage on the
         whole file)."""
+        from ..io.native import cumsum_i32
         out: Dict[int, np.ndarray] = {}
         for t in range(len(self.ref_names)):
             L = int(self.ref_lens[t])
             if self._flat_diff is not None:
                 b = int(self._tid_base[t])
-                out[t] = np.cumsum(self._flat_diff[b:b + L + 1],
-                                   dtype=np.int32)[:L]
+                out[t] = cumsum_i32(self._flat_diff[b:b + L + 1])[:L]
                 continue
             d = self._cov_diff.get(t)
             if d is None:
                 out[t] = np.zeros(L, np.int32)
             else:
-                out[t] = np.cumsum(d, dtype=np.int32)[:L]
+                out[t] = cumsum_i32(d)[:L]
         return out
 
     def light(self) -> LightBam:
-        c = {k: (np.concatenate(v) if v else
-                 np.zeros(0, dict(flag=np.uint16, mapq=np.uint8,
-                                  hard=bool).get(k, np.int32)))
-             for k, v in self._cols.items()}
+        v = self._cols.view
         return LightBam(self.ref_names, self.ref_lens, self.n,
-                        c["pos"], c["mpos"], c["mtid"], c["l_qseq"],
-                        c["flag"], c["mapq"], c["isize"], c["tid"],
-                        c["end"], c["hard"])
+                        v("pos"), v("mpos"), v("mtid"), v("l_qseq"),
+                        v("flag"), v("mapq"), v("isize"), v("tid"),
+                        v("end"), v("hard"))
 
 
 def scan_bam(bam_path: str, chunk_records: int,
