@@ -1198,4 +1198,79 @@ int64_t seeksv_sw_global(const int32_t* query, int64_t m,
   return nc;
 }
 
+// Batched global alignment with traceback + NM (threaded): row b aligns
+// query[q_off[b]:q_off[b+1]] to target[t_off[b]:t_off[b+1]].  cigar runs
+// land in cig_len/cig_op[b*cig_cap : b*cig_cap+ncig[b]]; rows must
+// satisfy m+n <= cig_cap (caller sizes cig_cap = max(m+n)).  Rows with
+// m==0 or n==0 stay in the python wrapper (as for seeksv_sw_global).
+// nm[b] = mismatches on M runs + inserted + deleted bases — the
+// engine._nm contract.
+void seeksv_sw_global_batch(const int32_t* q, const int64_t* q_off,
+                            const int32_t* t, const int64_t* t_off,
+                            int64_t B, int32_t* score, int32_t* nm,
+                            int64_t* ncig, int32_t* cig_len,
+                            uint8_t* cig_op, int64_t cig_cap,
+                            int32_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = (int32_t)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if ((int64_t)n_threads > B) n_threads = (int32_t)(B > 0 ? B : 1);
+  auto worker = [&](int64_t b0, int64_t b1) {
+    for (int64_t b = b0; b < b1; b++) {
+      const int64_t m = q_off[b + 1] - q_off[b];
+      const int64_t n = t_off[b + 1] - t_off[b];
+      if (m == 0 || n == 0) {  // wrapper handles the degenerate rows
+        ncig[b] = 0;
+        score[b] = 0;
+        nm[b] = 0;
+        continue;
+      }
+      const int32_t* qb = q + q_off[b];
+      const int32_t* tb = t + t_off[b];
+      int32_t sc = 0;
+      int64_t nc = seeksv_sw_global(qb, m, tb, n, &sc,
+                                    cig_len + b * cig_cap,
+                                    cig_op + b * cig_cap);
+      ncig[b] = nc;
+      score[b] = sc;
+      int64_t qi = 0, ti = 0;
+      int32_t mm = 0;
+      for (int64_t c = 0; c < nc; c++) {
+        const int32_t ln = cig_len[b * cig_cap + c];
+        switch (cig_op[b * cig_cap + c]) {
+          case 'M':
+            for (int32_t x = 0; x < ln; x++)
+              if (qb[qi + x] != tb[ti + x]) mm++;
+            qi += ln;
+            ti += ln;
+            break;
+          case 'I':
+            mm += ln;
+            qi += ln;
+            break;
+          case 'D':
+            mm += ln;
+            ti += ln;
+            break;
+        }
+      }
+      nm[b] = mm;
+    }
+  };
+  if (n_threads == 1) {
+    worker(0, B);
+  } else {
+    std::vector<std::thread> ths;
+    const int64_t chunk = (B + n_threads - 1) / n_threads;
+    for (int32_t ti = 0; ti < n_threads; ti++) {
+      const int64_t b0 = ti * chunk;
+      const int64_t b1 = b0 + chunk < B ? b0 + chunk : B;
+      if (b0 >= b1) break;
+      ths.emplace_back(worker, b0, b1);
+    }
+    for (auto& th : ths) th.join();
+  }
+}
+
 }  // extern "C"

@@ -31,15 +31,29 @@ BATCHES = [64, 256, 1024, 4096, 16384, 65536]
 
 def make_batch(rng, B):
     # int8 codes: the dtype the engine actually ships (device kernels
-    # widen on-device; 4x smaller upload than int32)
+    # widen on-device; 4x smaller upload than int32).
+    # Realistic job mixture (matters for the host/device crossover): real
+    # extension jobs have variable lengths inside the padded bucket (the
+    # host kernel's cost scales with ACTUAL qlen*tlen; the device pays the
+    # padded shape), and targets that match up to a random break then
+    # diverge — which triggers the host kernel's zdrop early exit exactly
+    # as clip-fragment extensions past the junction do in production.
     q = rng.integers(0, 4, (B, LQ)).astype(np.int8)
     t = rng.integers(0, 4, (B, LT)).astype(np.int8)
-    # make targets correlated with queries so the DP does real work
-    t[:, :LQ] = np.where(rng.random((B, LQ)) < 0.9, q, t[:, :LQ])
-    ql = np.full(B, LQ, np.int32)
-    tl = np.full(B, LT, np.int32)
+    ql = rng.integers(LQ // 4, LQ + 1, B).astype(np.int32)
+    tl = np.minimum(ql + 100, LT).astype(np.int32)
+    brk = (ql * rng.uniform(0.3, 1.0, B)).astype(np.int32)
+    for b in range(B):
+        n = int(brk[b])
+        m = rng.random(n) < 0.95
+        t[b, :n][m] = q[b, :n][m]
     h0 = np.full(B, 19, np.int32)
     return q, ql, t, tl, h0
+
+
+def batch_cells(batch):
+    _q, ql, _t, tl, _h0 = batch
+    return int((ql.astype(np.int64) * tl).sum())
 
 
 def time_host(batch, trials=3):
@@ -91,7 +105,7 @@ def main():
     crossover_cells = None
     for B in BATCHES:
         batch = make_batch(rng, B)
-        cells = B * LQ * LT
+        cells = batch_cells(batch)  # ACTUAL cells, the engine's dispatch metric
         th = time_host(batch)
         td = time_device(batch)
         row = {"batch": B, "cells": cells,

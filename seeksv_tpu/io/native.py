@@ -160,6 +160,13 @@ def _load() -> Optional[ctypes.CDLL]:
                     lib.seeksv_sw_global.argtypes = [
                         p32, ctypes.c_int64, p32, ctypes.c_int64,
                         p32, p32, ctypes.POINTER(ctypes.c_uint8)]
+                if hasattr(lib, "seeksv_sw_global_batch"):
+                    p32 = ctypes.POINTER(ctypes.c_int32)
+                    p64 = ctypes.POINTER(ctypes.c_int64)
+                    lib.seeksv_sw_global_batch.argtypes = [
+                        p32, p64, p32, p64, ctypes.c_int64, p32, p32, p64,
+                        p32, ctypes.POINTER(ctypes.c_uint8),
+                        ctypes.c_int64, ctypes.c_int32]
                 _LIB = lib
                 break
             except OSError:
@@ -393,6 +400,64 @@ def sw_global_native(query: np.ndarray, target: np.ndarray):
         cig_op.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return int(score.value), [(int(cig_len[i]), chr(cig_op[i]))
                               for i in range(nc)]
+
+
+def sw_global_batch_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "seeksv_sw_global_batch")
+
+
+def sw_global_batch_native(queries, targets, n_threads: int = 0):
+    """Batched threaded global alignment + NM: queries/targets are lists
+    of code arrays; returns [(score, cigar, nm)] per pair, exactly
+    matching per-pair sw.global_align + engine._nm (degenerate m==0/n==0
+    rows follow the wrapper conventions)."""
+    from ..align.sw import GAP_EXT, GAP_OPEN
+    B = len(queries)
+    q_off = np.zeros(B + 1, np.int64)
+    t_off = np.zeros(B + 1, np.int64)
+    for i in range(B):
+        q_off[i + 1] = q_off[i] + len(queries[i])
+        t_off[i + 1] = t_off[i] + len(targets[i])
+    q = np.empty(int(q_off[-1]), np.int32)
+    t = np.empty(int(t_off[-1]), np.int32)
+    for i in range(B):
+        q[q_off[i]:q_off[i + 1]] = queries[i]
+        t[t_off[i]:t_off[i + 1]] = targets[i]
+    cap = (int(((q_off[1:] - q_off[:-1])
+                + (t_off[1:] - t_off[:-1])).max(initial=0)) + 1 if B else 1)
+    score = np.zeros(B, np.int32)
+    nm = np.zeros(B, np.int32)
+    ncig = np.zeros(B, np.int64)
+    cig_len = np.empty((B, cap), np.int32)
+    cig_op = np.empty((B, cap), np.uint8)
+    lib = _load()
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    pu8 = ctypes.POINTER(ctypes.c_uint8)
+    if B:
+        lib.seeksv_sw_global_batch(
+            q.ctypes.data_as(p32), q_off.ctypes.data_as(p64),
+            t.ctypes.data_as(p32), t_off.ctypes.data_as(p64), B,
+            score.ctypes.data_as(p32), nm.ctypes.data_as(p32),
+            ncig.ctypes.data_as(p64), cig_len.ctypes.data_as(p32),
+            cig_op.ctypes.data_as(pu8), cap, n_threads)
+    out = []
+    for i in range(B):
+        m = int(q_off[i + 1] - q_off[i])
+        n = int(t_off[i + 1] - t_off[i])
+        if m == 0 and n == 0:
+            out.append((0, [], 0))
+        elif m == 0:
+            out.append((-GAP_OPEN - n * GAP_EXT, [(n, "D")], n))
+        elif n == 0:
+            out.append((-GAP_OPEN - m * GAP_EXT, [(m, "I")], m))
+        else:
+            k = int(ncig[i])
+            out.append((int(score[i]),
+                        [(int(cig_len[i, c]), chr(cig_op[i, c]))
+                         for c in range(k)], int(nm[i])))
+    return out
 
 
 def coverage_depth(starts: np.ndarray, ends: np.ndarray,

@@ -1,0 +1,402 @@
+"""Streaming x SPMD composition: the bounded-memory slab ingestion of
+pipeline/stream.py with the per-slab numeric work executed on the device
+mesh (VERDICT r2 item 3; SURVEY.md §7 phase 7 + §2 ingest call-out; ref
+memory contract clip_reads.h:423-446).
+
+The BAM is decoded ONCE in bounded slabs; per slab:
+
+  * SpmdGetclipStream — clip-event extraction (host classification, the
+    sparse per-record work), with the per-breakpoint consensus merge
+    executed on the mesh at each chromosome flush
+    (spmd_pipeline.mesh_consensus); peak state = one chromosome's clip
+    events, the reference's own flush bound.
+  * SpmdStreamStats — coverage scatter-adds into a DEVICE-RESIDENT
+    per-shard diff accumulator (donated buffer; the cross-shard psum is
+    deferred to finalize, so slabs stream without collectives), and the
+    first-N insert-size histogram with the running cross-slab offset
+    carried as a scalar argument (exact cluster.cpp:15-83 semantics
+    across slab boundaries).  Compact LightBam columns stay on host
+    (the discordant-window working set, ~26 B/record).
+
+Peak RSS = two decode slabs (prefetch) + LightBam columns + one
+chromosome's clip events; the genome-sized coverage array lives on the
+mesh.  Value parity vs the sequential streaming pass is asserted by
+tests/test_stream_spmd.py at 1/2/8 devices, and at 100 Mbp/30x by
+scripts/bench_stream_spmd.py (bounded-RSS artifact).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..io.bam import BamRecords, FDUP, FMUNMAP, FUNMAP, OP_H, OP_S
+from ..ops import cigar as cg
+from ..pipeline.getclip import (_get_sclip_read, _map_len_no_x,
+                                _store_unmapped)
+from ..pipeline.stream import _GrowCols, LightBam, scan_bam
+from .spmd_pipeline import (HIST_SIZE, _flat_segments, _insert_columns,
+                            _insert_stats_from_hist, mesh_consensus)
+
+
+class _SideSink:
+    """Ordered per-position event lists for one clip side of the live
+    chromosome (insertion order preserved — the consensus merge is
+    order-sensitive, ref InsertSeq clip_reads.cpp:260)."""
+
+    def __init__(self):
+        self.by_pos: Dict[int, list] = {}
+
+    def insert(self, pos, s_l, q_l, s_r, q_r, cigar, limit, left_clipped):
+        self.by_pos.setdefault(int(pos), []).append(
+            (int(pos), s_l, q_l, s_r, q_r, list(cigar)))
+
+
+class SpmdGetclipStream:
+    """Slab-incremental getclip with the consensus merge on the mesh.
+    process(slab) in file order == the whole-file spmd_getclip pass
+    (same flush/drop quirks as pipeline.getclip.GetclipStream)."""
+
+    def __init__(self, mesh, prefix: str, threshold: float = 0.85,
+                 min_mapq: int = 20, save_low_quality: bool = False):
+        import gzip
+        self.mesh = mesh
+        self.threshold = threshold
+        self.min_mapq = min_mapq
+        self.save_low_quality = save_low_quality
+        self.soft_out = gzip.open(f"{prefix}.clip.gz", "wt", compresslevel=1)
+        self.fq_out = gzip.open(f"{prefix}.clip.fq.gz", "wt", compresslevel=1)
+        self.un1 = gzip.open(f"{prefix}.unmapped_1.fq.gz", "wt",
+                             compresslevel=1)
+        self.un2 = gzip.open(f"{prefix}.unmapped_2.fq.gz", "wt",
+                             compresslevel=1)
+        self.left = _SideSink()
+        self.right = _SideSink()
+        self.id2seq_qual: Dict[bytes, tuple] = {}
+        self.last_tid = 0
+        self.ref_names: List[str] = []
+
+    def _flush(self, tid: int) -> None:
+        chrom = (self.ref_names[tid] if 0 <= tid < len(self.ref_names)
+                 else str(tid))
+        group_keys = []
+        group_events = []
+        for side, sink in ((0, self.left), (1, self.right)):
+            for pos, evs in sink.by_pos.items():
+                group_keys.append((0, side, pos))
+                group_events.append(evs)
+        consensus = mesh_consensus(self.mesh, group_keys, group_events,
+                                   self.threshold)
+        for side, orient in ((0, "5"), (1, "3")):
+            for key in sorted(k for k in consensus if k[1] == side):
+                for (s_l, q_l, s_r, q_r, cigar, sup) in consensus[key]:
+                    if orient == "5":
+                        aligned, aligned_q = s_r, q_r
+                        clipped, clipped_q = s_l, q_l
+                    else:
+                        aligned, aligned_q = s_l, q_l
+                        clipped, clipped_q = s_r, q_r
+                    self.soft_out.write(
+                        f"{chrom}\t{key[2]}\t{orient}\t{cg.to_str(cigar)}\t"
+                        f"{aligned.tobytes().decode()}\t"
+                        f"{aligned_q.tobytes().decode()}\t"
+                        f"{clipped.tobytes().decode()}\t"
+                        f"{clipped_q.tobytes().decode()}\t{sup}\n")
+                    cs = clipped.tobytes().decode()
+                    self.fq_out.write(f"@{cs}\n{cs}\n+\n"
+                                      f"{clipped_q.tobytes().decode()}\n")
+        self.left.by_pos.clear()
+        self.right.by_pos.clear()
+
+    def process(self, recs: BamRecords) -> None:
+        self.ref_names = recs.ref_names
+        flag = recs.flag
+        unmapped_any = (flag & (FUNMAP | FMUNMAP)) != 0
+        mapped = ~unmapped_any
+        first_op = recs.first_op()
+        last_op = recs.last_op()
+        has_hard = (first_op == OP_H) | (last_op == OP_H)
+        clip_candidate = (mapped & ~has_hard
+                          & ((first_op == OP_S) | (last_op == OP_S))
+                          & (recs.mapq >= self.min_mapq)
+                          & ((flag & FDUP) == 0))
+        first_len = recs.first_len()
+        last_len = recs.last_len()
+        map_len = _map_len_no_x(recs)
+
+        for i in np.nonzero(unmapped_any)[0]:
+            _store_unmapped(recs, int(i), self.id2seq_qual, self.un1,
+                            self.un2)
+
+        mapped_idx = np.nonzero(mapped)[0]
+        if len(mapped_idx):
+            mtids = recs.tid[mapped_idx]
+            run_starts = np.concatenate(
+                [[0], np.nonzero(mtids[1:] != mtids[:-1])[0] + 1,
+                 [len(mtids)]])
+            for r in range(len(run_starts) - 1):
+                s, e = int(run_starts[r]), int(run_starts[r + 1])
+                tid = int(mtids[s])
+                if tid != self.last_tid:
+                    self._flush(self.last_tid)
+                    self.last_tid = tid
+                    s += 1  # quirk: flush-triggering record is dropped
+                run = mapped_idx[s:e]
+                for i in run[clip_candidate[run]]:
+                    _get_sclip_read(recs, int(i), self.left, self.right,
+                                    self.threshold, self.save_low_quality,
+                                    first_op, last_op, first_len, last_len,
+                                    map_len)
+
+    def close(self) -> None:
+        self._flush(self.last_tid)
+        self.soft_out.close()
+        self.fq_out.close()
+        self.un1.close()
+        self.un2.close()
+
+
+def _pow2_bucket(n: int, floor: int = 1 << 14) -> int:
+    b = floor
+    while b < n:
+        b <<= 1
+    return b
+
+
+class SpmdStreamStats:
+    """Mesh-resident streaming statistics (see module docstring).
+
+    The coverage accumulator is a [ndev, g_pad] int32 array sharded over
+    every mesh device on dim 0 — each device owns one per-shard diff
+    array; slabs scatter-add into it through a donated jit (no
+    collectives per slab); finalize() runs the single cross-shard
+    reduction + prefix sum."""
+
+    def __init__(self, mesh, min_mapq: int, read_pair_used: int):
+        self.mesh = mesh
+        self.min_mapq = min_mapq
+        self.read_pair_used = read_pair_used
+        self.ref_names: List[str] = []
+        self.ref_lens: List[int] = []
+        self.n = 0
+        self._acc = None          # device [ndev, g_pad] int32
+        self._offsets = None
+        self._g_pad = 0
+        self._hist = np.zeros(HIST_SIZE, np.int64)
+        self._base = 0            # qualifying records seen so far (first-N)
+        self._cols = _GrowCols(("pos", "mpos", "mtid", "l_qseq", "flag",
+                                "mapq", "isize", "tid", "end", "hard"))
+        self._update_fn = None
+        self._hist_fn = None
+
+    # ---- device steps ----------------------------------------------------
+    def _build_fns(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        axes = tuple(mesh.axis_names)
+        ndev = mesh.size
+        g_pad = self._g_pad
+        acc_sharding = NamedSharding(mesh, P(axes, None))
+        seg_sharding = NamedSharding(mesh, P(axes))
+
+        def update(acc, st, en):
+            def body(a, s, e):
+                a = a[0]
+                a = a.at[jnp.clip(s, 0, g_pad)].add(
+                    (s < g_pad).astype(jnp.int32))
+                a = a.at[jnp.clip(e, 0, g_pad)].add(
+                    -(e < g_pad).astype(jnp.int32))
+                return a[None]
+            return jax.shard_map(
+                body, mesh=mesh, in_specs=(P(axes, None), P(axes), P(axes)),
+                out_specs=P(axes, None), check_vma=False)(acc, st, en)
+
+        self._update = jax.jit(update, donate_argnums=0)
+
+        def hist_step(isz, take):
+            # the global first-N take mask is computed on host (the
+            # running cross-slab offset makes it a plain cumsum); the
+            # device does the data-parallel histogram scatter + psum
+            def body(isz_l, take_l):
+                h = jnp.zeros(HIST_SIZE, jnp.int32)
+                h = h.at[isz_l].add(take_l.astype(jnp.int32))
+                return jax.lax.psum(h, axes)
+            return jax.shard_map(
+                body, mesh=mesh, in_specs=(P(axes), P(axes)),
+                out_specs=P(), check_vma=False)(isz, take)
+
+        self._hist_step = jax.jit(hist_step)
+        self._seg_sharding = seg_sharding
+        self._acc_sharding = acc_sharding
+
+    def process(self, recs: BamRecords) -> None:
+        import jax
+
+        self.ref_names = recs.ref_names
+        self.ref_lens = list(recs.ref_lens)
+        self.n += recs.n
+        if self._acc is None:
+            lens = np.asarray(recs.ref_lens, np.int64)
+            self._offsets = np.concatenate([[0], np.cumsum(lens)])
+            self._g_pad = int(self._offsets[-1])
+            self._build_fns()
+            ndev = self.mesh.size
+            self._acc = jax.device_put(
+                np.zeros((ndev, self._g_pad + 1), np.int32),
+                self._acc_sharding)
+
+        # coverage segments -> device scatter-add (padded to pow2 buckets
+        # so the donated jit compiles a handful of shapes, not per slab)
+        st, en = _flat_segments(recs, self.min_mapq, self._offsets,
+                                self._g_pad)
+        ndev = self.mesh.size
+        S = len(st)
+        Sp = -(-_pow2_bucket(max(S, 1)) // ndev) * ndev
+        stp = np.full(Sp, self._g_pad + 1, np.int64)  # pad: out of range
+        enp = np.full(Sp, self._g_pad + 1, np.int64)
+        stp[:S] = st
+        enp[:S] = en
+        self._acc = self._update(
+            self._acc, jax.device_put(stp, self._seg_sharding),
+            jax.device_put(enp, self._seg_sharding))
+
+        # insert-size histogram with the running cross-slab first-N offset
+        if self._base < self.read_pair_used:
+            ok, isz, _over = _insert_columns(recs, self.min_mapq)
+            rank = self._base + np.cumsum(ok) - 1
+            take = ok & (rank < self.read_pair_used)
+            N = recs.n
+            Np = -(-_pow2_bucket(max(N, 1)) // ndev) * ndev
+            takep = np.zeros(Np, bool)
+            iszp = np.zeros(Np, np.int32)
+            takep[:N] = take
+            iszp[:N] = isz
+            h = self._hist_step(
+                jax.device_put(iszp, self._seg_sharding),
+                jax.device_put(takep, self._seg_sharding))
+            self._hist += np.asarray(h).astype(np.int64)
+            self._base += int(ok.sum())
+
+        # compact host columns (the discordant-window working set)
+        first_op = recs.first_op()
+        last_op = recs.last_op()
+        has_cigar = recs.cig_off[1:] > recs.cig_off[:-1]
+        hard = has_cigar & ((first_op == OP_H) | (last_op == OP_H))
+        self._cols.append(
+            pos=recs.pos, mpos=recs.mpos, mtid=recs.mtid,
+            l_qseq=recs.l_qseq, flag=recs.flag, mapq=recs.mapq,
+            isize=recs.isize, tid=recs.tid,
+            end=recs.pos + recs.ref_span(count_x=True), hard=hard)
+
+    # ---- finalize --------------------------------------------------------
+    def coverage(self) -> Dict[int, np.ndarray]:
+        """One cross-shard reduction + prefix sum of the device-resident
+        accumulator -> per-tid depth arrays."""
+        import jax.numpy as jnp
+        import jax
+
+        if self._acc is None:
+            return {t: np.zeros(int(L), np.int32)
+                    for t, L in enumerate(self.ref_lens)}
+        diff = np.asarray(jax.jit(lambda a: jnp.sum(a, axis=0))(self._acc))
+        from ..io.native import cumsum_i32
+        cum = cumsum_i32(diff[:self._g_pad])
+        return {t: cum[int(self._offsets[t]):int(self._offsets[t + 1])]
+                for t in range(len(self.ref_names))}
+
+    def insert_size(self):
+        """Exact cluster.cpp:15-83 stats from the psum'd histogram, with
+        host-side spill for isize >= HIST_SIZE (the LightBam columns hold
+        every record's exact isize)."""
+        isize = self._cols.view("isize")
+        flag = self._cols.view("flag").astype(np.int32)
+        mapq = self._cols.view("mapq").astype(np.int32)
+        hard = self._cols.view("hard")
+        from ..io.bam import FPAIRED, FPROPER_PAIR
+        ok = ((mapq >= self.min_mapq) & ((flag & FPAIRED) != 0)
+              & ((flag & FPROPER_PAIR) != 0) & ((flag & FDUP) == 0)
+              & (isize > 0) & ~hard)
+        over = isize >= HIST_SIZE
+        extra = ()
+        hist = self._hist.copy()
+        if (ok & over).any():
+            rank = np.cumsum(ok) - 1
+            taken_over = ok & over & (rank < self.read_pair_used)
+            extra = isize[taken_over].astype(np.int64)
+            hist[HIST_SIZE - 1] -= len(extra)
+        return _insert_stats_from_hist(hist, extra)
+
+    def light(self) -> LightBam:
+        v = self._cols.view
+        return LightBam(self.ref_names, self.ref_lens, self.n,
+                        v("pos"), v("mpos"), v("mtid"), v("l_qseq"),
+                        v("flag"), v("mapq"), v("isize"), v("tid"),
+                        v("end"), v("hard"))
+
+
+def spmd_run_pipeline_streaming(mesh, ref_fa: str, bam: str, prefix: str, *,
+                                chunk_records: int = 2_000_000,
+                                min_mapq: int = 20,
+                                read_pair_used: int = 5_000_000,
+                                force_device_extend: bool = False,
+                                filtered_out=None,
+                                log=lambda *a: None) -> str:
+    """The full pipeline with bounded-memory slab ingestion AND the
+    numeric stages on the mesh — the composition VERDICT r2 found
+    missing.  sv rows are value-identical to the sequential streaming
+    pass (tests/test_stream_spmd.py)."""
+    import io
+    import sys
+    import time
+
+    from ..align.engine import BatchAligner
+    from ..pipeline.driver import write_sam, _read_fastq
+    from ..pipeline.getsv import (DepthQuery, DiscordantCounter, SV_HEADER,
+                                  output_breakpoints)
+    from .spmd_pipeline import (merge_junction_sharded,
+                                spmd_build_junctions,
+                                spmd_discordant_counts)
+
+    t0 = time.time()
+    gs = SpmdGetclipStream(mesh, prefix)
+    stats = SpmdStreamStats(mesh, min_mapq, read_pair_used)
+    scan_bam(bam, chunk_records, [gs, stats])
+    gs.close()
+    log(f"[{time.time()-t0:.2f}s] spmd streaming getclip+stats done "
+        f"({stats.n:,} records)")
+
+    aligner = BatchAligner.from_fasta(ref_fa)
+    aligner.shard_mesh = mesh
+    seqs, quals = _read_fastq(f"{prefix}.clip.fq.gz")
+    alns = aligner.batch_align(seqs, force_device=force_device_extend)
+    write_sam(aligner, seqs, quals, alns, f"{prefix}.clip.sam")
+    log(f"[{time.time()-t0:.2f}s] spmd realign done")
+
+    jmap, rescue_events = spmd_build_junctions(
+        mesh, f"{prefix}.clip.gz", f"{prefix}.clip.sam", 0, False)
+    merge_junction_sharded(jmap, 50)
+    mean, dev = stats.insert_size()
+    log(f"Mean insert size: {mean}; deviation: {dev}")
+    recs = stats.light()
+    counter = DiscordantCounter(recs, min_mapq, mean, dev, 4)
+    counts = spmd_discordant_counts(mesh, counter,
+                                    [j for j, _ in jmap.items])
+    for (j, o), c in zip(jmap.items, counts):
+        o.abnormal = int(c)
+    depth = DepthQuery(recs, min_mapq, cov=stats.coverage())
+    log(f"[{time.time()-t0:.2f}s] spmd stats/discordant/depth done")
+    with open(f"{prefix}.sv", "w") as fout:
+        fout.write(SV_HEADER + "\n")
+        output_breakpoints(jmap, depth, 200, 3, 0, 0.1, 50, 50, 30, 1,
+                           fout, filtered_out or io.StringIO(), True, 5, 500)
+    with open(f"{prefix}.unmapped.clip.fq", "w") as fq:
+        for _pos_key, cr in rescue_events:
+            if cr.type == "n":
+                fq.write(f"@{cr.clipped_seq.decode()}\n"
+                         f"{cr.clipped_seq.decode()}\n+\n"
+                         f"{cr.clipped_qual.decode()}\n")
+    log(f"[{time.time()-t0:.2f}s] spmd streaming getsv done -> {prefix}.sv")
+    return f"{prefix}.sv"

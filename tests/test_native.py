@@ -86,6 +86,30 @@ def test_sw_global_native_vs_numpy():
         assert got_c == ref_c
 
 
+@pytest.mark.skipif(not native.sw_global_batch_available(),
+                    reason="native lib not built")
+def test_sw_global_batch_vs_single():
+    """Batched threaded traceback == per-pair global_align + _nm
+    (incl. the degenerate empty-side rows the wrapper synthesizes)."""
+    from seeksv_tpu.align.engine import Aligner
+    from seeksv_tpu.align.sw import global_align
+    rng = np.random.default_rng(12)
+    qs, ts = [], []
+    for _ in range(80):
+        m = int(rng.integers(0, 100))
+        n = int(rng.integers(0, 120)) if rng.random() < 0.2 else \
+            max(0, m + int(rng.integers(-5, 6)))
+        qs.append(rng.integers(0, 5, m).astype(np.uint8))
+        ts.append(rng.integers(0, 5, n).astype(np.uint8))
+    got = native.sw_global_batch_native(qs, ts)
+    for q, t, (gs, gc, gnm) in zip(qs, ts, got):
+        es, ec = global_align(q, t)
+        enm = Aligner._nm(q.astype(np.int64), t.astype(np.int64), ec)
+        assert gs == es
+        assert gc == ec
+        assert gnm == enm
+
+
 def test_coverage_depth_matches_cumsum():
     rng = np.random.default_rng(3)
     starts = rng.integers(-50, 1100, 800)

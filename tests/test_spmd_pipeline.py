@@ -37,7 +37,8 @@ def test_spmd_pipeline_value_parity(example_dir, host_outputs, tmp_path,
     assert mesh.size == n_devices
     prefix = str(tmp_path / "spmd")
     spmd_run_pipeline(mesh, str(example_dir / "reference" / "example.fa"),
-                      str(example_dir / "cancer.sort.bam"), prefix)
+                      str(example_dir / "cancer.sort.bam"), prefix,
+                      force_device_extend=True)  # exercise the mesh kernels
     got_sv = open(prefix + ".sv", "rb").read()
     want_sv = open(host_outputs / "cancer.sv", "rb").read()
     assert got_sv == want_sv
@@ -112,6 +113,30 @@ def test_spmd_insert_size_first_n_cap(example_dir, n_pairs):
     want = calculate_insert_size(recs, 20, n_pairs)
     mesh = make_mesh(8)
     _cov, mean, dev = spmd_coverage_insert(mesh, recs, 20, n_pairs)
+    assert (mean, dev) == want
+
+
+def test_spmd_insert_size_isize_overflow_spill(example_dir):
+    """isize >= 65536 (outside the device histogram) spills to exact
+    host-side values instead of raising — the mesh path keeps the host
+    path's robustness (VERDICT r2 item 8)."""
+    import copy
+
+    from seeksv_tpu.io.bam import read_bam
+    recs = read_bam(str(example_dir / "cancer.sort.bam"))
+    recs = copy.copy(recs)
+    isz = np.array(recs.isize, copy=True)
+    # plant huge insert sizes on a few qualifying records
+    from seeksv_tpu.io.bam import FDUP, FPAIRED, FPROPER_PAIR
+    ok = ((recs.mapq >= 20) & ((recs.flag & FPAIRED) != 0)
+          & ((recs.flag & FPROPER_PAIR) != 0)
+          & ((recs.flag & FDUP) == 0) & (isz > 0))
+    idx = np.nonzero(ok)[0][:5]
+    isz[idx] = [70_000, 100_000, 66_000, 1 << 20, 65_536]
+    recs.isize = isz
+    want = calculate_insert_size(recs, 20, 5_000_000)
+    mesh = make_mesh(8)
+    _cov, mean, dev = spmd_coverage_insert(mesh, recs, 20, 5_000_000)
     assert (mean, dev) == want
 
 
