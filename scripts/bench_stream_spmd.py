@@ -1,0 +1,114 @@
+"""Scale artifact: streaming x SPMD composition at >= 100Mbp/30x on a
+virtual 8-device mesh, with bounded RSS recorded and sv-row parity vs
+the sequential streaming pass (VERDICT r2 item 3 'Done' criterion).
+
+Runs on CPU devices (XLA_FLAGS=--xla_force_host_platform_device_count=8)
+— the same virtual-mesh configuration the test suite uses — so this
+validates the composition's memory behavior and exactness, not chip
+throughput.  Prints one JSON line.
+
+Usage: python scripts/bench_stream_spmd.py [--genome-mb 100]
+       [--coverage 30] [--devices 8] [--chunk-records 2000000]
+"""
+import argparse
+import json
+import os
+import resource
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genome-mb", type=float, default=100)
+    ap.add_argument("--coverage", type=int, default=30)
+    ap.add_argument("--read-len", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--events", type=int, default=3000)
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--chunk-records", type=int, default=2_000_000)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    # a sitecustomize pre-imports jax pinned to the tunneled chip;
+    # backend creation is lazy, so switching platform + forcing host
+    # devices here (before any jax.devices() call) still works — the
+    # same recipe as tests/conftest.py
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.devices}").strip()
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from jax.sharding import Mesh
+
+    from seeksv_tpu.parallel.stream_spmd import spmd_run_pipeline_streaming
+    from seeksv_tpu.pipeline.stream import run_pipeline_streaming
+
+    from bench_scale import build_dataset, sv_rows  # same cached dataset
+
+    G = int(args.genome_mb * 1e6)
+    key = (f"scale-G{G}-c{args.coverage}-l{args.read_len}-s{args.seed}"
+           f"-e{args.events}")
+    root = os.path.join(os.path.expanduser("~"), ".cache", "seeksv_tpu", key)
+    build_dataset(root, G, args.coverage, args.read_len, args.seed,
+                  args.events, False)
+    bam = os.path.join(root, "sim.bam")
+    fa = os.path.join(root, "ref.fa")
+
+    devs = np.array(jax.devices()[:args.devices])
+    if args.devices % 2 == 0 and args.devices > 1:
+        mesh = Mesh(devs.reshape(args.devices // 2, 2), ("dp", "gp"))
+    else:
+        mesh = Mesh(devs.reshape(args.devices, 1), ("dp", "gp"))
+
+    with tempfile.TemporaryDirectory() as d:
+        t0 = time.time()
+        seq_prefix = os.path.join(d, "seq")
+        run_pipeline_streaming(fa, bam, seq_prefix,
+                               chunk_records=args.chunk_records)
+        t_seq = time.time() - t0
+
+        t0 = time.time()
+        spmd_prefix = os.path.join(d, "spmd")
+        stages = {}
+        spmd_run_pipeline_streaming(
+            mesh, fa, bam, spmd_prefix, chunk_records=args.chunk_records,
+            log=lambda *a: print("#", *a, file=sys.stderr, flush=True))
+        t_spmd = time.time() - t0
+
+        ours = sv_rows(spmd_prefix + ".sv")
+        want = sv_rows(seq_prefix + ".sv")
+        parity = "exact" if ours == want else "MISMATCH"
+        n = sum(1 for _ in want)
+
+    peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    result = {
+        "metric": "stream_spmd_scale_run",
+        "genome_mb": args.genome_mb, "coverage": args.coverage,
+        "devices": args.devices, "mesh": dict(
+            zip(mesh.axis_names, mesh.devices.shape)),
+        "chunk_records": args.chunk_records,
+        "sv_parity_vs_sequential_stream": parity,
+        "sv_rows": len(want),
+        "sequential_stream_s": round(t_seq, 1),
+        "spmd_stream_s": round(t_spmd, 1),
+        "peak_rss_mb": round(peak_rss_mb, 1),
+        "jax_platform": jax.devices()[0].platform,
+        "note": ("virtual CPU mesh: validates composition memory bound + "
+                 "exactness, not chip throughput"),
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
+    if parity != "exact":
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,11 @@ coverage+insert-size shard_map step
 (parallel.spmd_pipeline.multiprocess_coverage_insert).  Process 0 also
 computes the sequential whole-file answer and asserts equality.
 
-Usage: python multihost_worker.py <pid> <nproc> <port> <bam>
+Usage: python multihost_worker.py <pid> <nproc> <port> <bam> [mode] [args]
+  mode "covins"  (default): coverage+insert step only
+  mode "pipeline": the FULL pipeline (parallel.multiproc) — needs
+    <ref_fa> <workdir> after the mode; process 0 also runs the
+    sequential pipeline and asserts byte-equal sv.txt.
 """
 import sys
 
@@ -14,6 +18,7 @@ import sys
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     bam = sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "covins"
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -30,6 +35,29 @@ def main():
     from seeksv_tpu.parallel.spmd_pipeline import multiprocess_coverage_insert
 
     assert jax.process_count() == nproc, jax.process_count()
+
+    if mode == "pipeline":
+        ref_fa, workdir = sys.argv[6], sys.argv[7]
+        from seeksv_tpu.parallel.multiproc import multiprocess_run_pipeline
+        n_dev = jax.device_count()
+        devs = np.array(jax.devices()).reshape(n_dev, 1)
+        mesh = Mesh(devs, ("dp", "gp"))
+        sv = multiprocess_run_pipeline(
+            mesh, ref_fa, bam, f"{workdir}/mp",
+            log=lambda *a: print(*a, flush=True))
+        if pid == 0:
+            import io
+            from seeksv_tpu.pipeline.driver import run_pipeline
+            run_pipeline(ref_fa, bam, f"{workdir}/seq",
+                         filtered_out=io.StringIO())
+            got = open(sv, "rb").read()
+            want = open(f"{workdir}/seq.sv", "rb").read()
+            assert got == want, "multi-process sv.txt diverges:\n" \
+                + got.decode()[:2000] + "\n----\n" + want.decode()[:2000]
+            print("MULTIHOST_PIPELINE_OK", len(got.splitlines()), flush=True)
+        else:
+            print(f"[{pid}] pipeline done", flush=True)
+        return
     n_dev = jax.device_count()
     assert n_dev == nproc * 2, n_dev
 
