@@ -1016,6 +1016,156 @@ def spmd_discordant_counts(mesh, counter: DiscordantCounter,
     return counts[:J]
 
 
+def spmd_discordant_counts_sharded(mesh, counter: DiscordantCounter,
+                                   junctions) -> np.ndarray:
+    """Coordinate-sharded discordant counting (VERDICT r2 item 5;
+    SURVEY.md §5): records are SHARDED across devices by coordinate
+    blocks instead of replicated — each device receives only the record
+    slice its junction windows touch.  Junctions sort by window start and
+    split contiguously over devices; a device's record slice is the union
+    span of its windows, i.e. its coordinate block plus the
+    mean+4σ+max_span halo the windows reach back by (ref window bound
+    getsv.cpp:1032).  Value-equal to the replicated
+    spmd_discordant_counts (tests/test_spmd_pipeline.py).
+
+    Per-device memory: ~26 B x (n_records/ndev + halo_records) for the
+    LightBam columns instead of 26 B x n_records — at 900M records
+    (30x human WGS) that is ~2.9 GB/device on 8 devices (plus a few MB
+    of halo at 30x coverage: halo ≈ coverage x (mean+4σ)/read_len ≈
+    1k records) instead of ~23 GB/device replicated."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.jax_kernels import discordant_count_batch
+
+    recs = counter.recs
+    J = len(junctions)
+    if J == 0:
+        return np.zeros(0, np.int32)
+    K = 5
+    # per-junction global window record ranges (same prep as the
+    # replicated form)
+    lo = np.zeros(J, np.int64)
+    hi = np.zeros(J, np.int64)
+    beg = np.zeros(J, np.int64)
+    upv = np.zeros(J, np.int64)
+    dnv = np.zeros(J, np.int64)
+    dtid = np.full(J, -1, np.int32)
+    stid = np.zeros(J, bool)
+    code = np.full(J, -1, np.int32)
+    for i, j in enumerate(junctions):
+        up_chr, up_pos, us, down_chr, down_pos, ds = j
+        tid = counter.name2tid.get(up_chr, -1)
+        mtid = counter.name2tid.get(down_chr, -1)
+        if tid == -1 or (us, ds) not in (("+", "+"), ("-", "+"), ("+", "-")):
+            continue
+        chr_len = counter.ref_lens[tid]
+        if us == "+":
+            end_w = up_pos
+            beg_w = end_w - counter.max_insert
+        else:
+            beg_w = up_pos - 1 - K
+            end_w = up_pos - 1 + counter.max_insert
+        if beg_w <= 0:
+            beg_w = 1
+        if end_w > chr_len:
+            end_w = chr_len
+        rng = counter.tid_ranges.get(tid)
+        if rng is None or end_w <= beg_w or mtid == -1:
+            continue
+        tlo, thi = rng
+        posv = counter.pos64[tlo:thi]
+        h2 = tlo + int(np.searchsorted(posv, end_w, "left"))
+        l2 = tlo + int(np.searchsorted(
+            posv, beg_w - counter.tid_max_span[tid], "right"))
+        lo[i], hi[i] = min(l2, h2), h2
+        beg[i] = beg_w
+        upv[i], dnv[i] = up_pos, down_pos
+        dtid[i] = mtid
+        stid[i] = tid == mtid
+        code[i] = {("+", "+"): 0, ("-", "+"): 1, ("+", "-"): 2}[(us, ds)]
+
+    ndev = mesh.size
+    active = np.nonzero(code >= 0)[0]
+    counts = np.zeros(J, np.int32)
+    if len(active) == 0:
+        return counts
+    # contiguous split of window-start-sorted junctions over devices
+    order = active[np.argsort(lo[active], kind="stable")]
+    bounds = np.linspace(0, len(order), ndev + 1).astype(int)
+    Jcap = max(int(np.max(bounds[1:] - bounds[:-1])), 1)
+    # per-device record slice = union span of its windows
+    s_lo = np.zeros(ndev, np.int64)
+    s_hi = np.zeros(ndev, np.int64)
+    for d in range(ndev):
+        sel = order[bounds[d]:bounds[d + 1]]
+        if len(sel):
+            s_lo[d] = lo[sel].min()
+            s_hi[d] = hi[sel].max()
+    Rcap = max(int(np.max(s_hi - s_lo)), 1)
+    wmax = int(np.max((hi - lo)[active])) if len(active) else 0
+    window_cap = 1 << max(int(np.ceil(np.log2(max(wmax, 1)))), 6)
+
+    flag = recs.flag
+    fwd_a = (flag & FREVERSE) == 0
+    mfwd_a = (flag & FMREVERSE) == 0
+    col_src = dict(pos=np.asarray(recs.pos), end=np.asarray(counter.end),
+                   lq=np.asarray(recs.l_qseq), mpos=np.asarray(recs.mpos),
+                   mtid=np.asarray(recs.mtid), fwd=fwd_a, mfwd=mfwd_a,
+                   base_ok=np.asarray(counter.base_ok))
+    rec_cols = {k: np.zeros((ndev, Rcap), v.dtype)
+                for k, v in col_src.items()}
+    jun_cols = {k: np.zeros((ndev, Jcap), a.dtype)
+                for k, a in (("lo", lo), ("hi", hi), ("beg", beg),
+                             ("upv", upv), ("dnv", dnv), ("dtid", dtid),
+                             ("stid", stid), ("code", code))}
+    mins = np.full((ndev, Jcap), counter.min_insert, np.int64)
+    maxs = np.full((ndev, Jcap), counter.max_insert, np.int64)
+    jid = np.full((ndev, Jcap), -1, np.int64)
+    for d in range(ndev):
+        a, b = int(s_lo[d]), int(s_hi[d])
+        for k, v in col_src.items():
+            rec_cols[k][d, :b - a] = v[a:b]
+        sel = order[bounds[d]:bounds[d + 1]]
+        for c, i in enumerate(sel):
+            # window indices rebased into the shard's slice
+            jun_cols["lo"][d, c] = lo[i] - a
+            jun_cols["hi"][d, c] = hi[i] - a
+            jun_cols["beg"][d, c] = beg[i]
+            jun_cols["upv"][d, c] = upv[i]
+            jun_cols["dnv"][d, c] = dnv[i]
+            jun_cols["dtid"][d, c] = dtid[i]
+            jun_cols["stid"][d, c] = stid[i]
+            jun_cols["code"][d, c] = code[i]
+            jid[d, c] = i
+        # padding rows: empty windows (lo == hi == 0) count 0
+
+    axes = tuple(mesh.axis_names)
+    sh = NamedSharding(mesh, P(axes, None))
+
+    def body(*args):
+        ra = [a[0] for a in args[:8]]
+        ja = [a[0] for a in args[8:]]
+        return discordant_count_batch(*ra, *ja,
+                                      window_cap=window_cap)[None]
+
+    in_specs = tuple([P(axes, None)] * 18)
+    fn = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                               out_specs=P(axes, None), check_vma=False))
+    put = lambda a: jax.device_put(a, sh)
+    out = np.asarray(fn(
+        *[put(rec_cols[k]) for k in ("pos", "end", "lq", "mpos", "mtid",
+                                     "fwd", "mfwd", "base_ok")],
+        *[put(jun_cols[k]) for k in ("lo", "hi", "beg", "upv", "dnv",
+                                     "dtid", "stid", "code")],
+        put(mins), put(maxs)))
+    for d in range(ndev):
+        for c in range(Jcap):
+            if jid[d, c] >= 0:
+                counts[jid[d, c]] = out[d, c]
+    return counts
+
+
 # --------------------------------------------------------------------------
 # full getsv + pipeline orchestration
 # --------------------------------------------------------------------------
@@ -1053,7 +1203,10 @@ def spmd_getsv(mesh, clip_sam: str, original_bam: str, clipfile: str,
     if read_pair_used >= 100_000:
         log(f"Mean insert size: {mean}; deviation: {dev}")
         counter = DiscordantCounter(recs, min_mapq, mean, dev, times)
-        counts = spmd_discordant_counts(
+        # coordinate-sharded (halo'd) record sharding is the production
+        # form — per-device memory n/ndev + halo instead of full
+        # replication (the replicated form remains for A/B validation)
+        counts = spmd_discordant_counts_sharded(
             mesh, counter, [j for j, _ in jmap.items])
         for (j, o), c in zip(jmap.items, counts):
             o.abnormal = int(c)

@@ -358,7 +358,7 @@ def spmd_run_pipeline_streaming(mesh, ref_fa: str, bam: str, prefix: str, *,
                                   output_breakpoints)
     from .spmd_pipeline import (merge_junction_sharded,
                                 spmd_build_junctions,
-                                spmd_discordant_counts)
+                                spmd_discordant_counts_sharded)
 
     t0 = time.time()
     gs = SpmdGetclipStream(mesh, prefix)
@@ -382,8 +382,8 @@ def spmd_run_pipeline_streaming(mesh, ref_fa: str, bam: str, prefix: str, *,
     log(f"Mean insert size: {mean}; deviation: {dev}")
     recs = stats.light()
     counter = DiscordantCounter(recs, min_mapq, mean, dev, 4)
-    counts = spmd_discordant_counts(mesh, counter,
-                                    [j for j, _ in jmap.items])
+    counts = spmd_discordant_counts_sharded(mesh, counter,
+                                            [j for j, _ in jmap.items])
     for (j, o), c in zip(jmap.items, counts):
         o.abnormal = int(c)
     depth = DepthQuery(recs, min_mapq, cov=stats.coverage())
