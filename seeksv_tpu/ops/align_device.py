@@ -38,6 +38,26 @@ from ..align.sw import MATCH, PEN_CLIP
 from .seed_device import _seed_core, TOP_CANDIDATES, pad_reads
 
 
+def device_align_auto_enabled() -> bool:
+    """Consult the committed calibration artifact
+    (align/device_align_calibration.json, written by
+    scripts/calibrate_device_align.py): True only when the measured
+    per-chunk comparison found a break-even — on the tunneled chip it is
+    'never' (18 MB/s uploads; a 100 Mbp index costs ~96 s to reach HBM),
+    on a direct-attached TPU host re-run the calibration."""
+    import json
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "align",
+        "device_align_calibration.json")
+    try:
+        with open(path) as f:
+            be = json.load(f).get("break_even")
+        return isinstance(be, dict)
+    except (OSError, ValueError):
+        return False
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "hit_cap", "n_jobs", "nk", "LT"))
 def _seed_and_gather(keys, positions, ref, chrom_starts, mat, lens,
