@@ -13,12 +13,14 @@
 //
 // Build: make -C csrc   (g++ -O3 -shared -fPIC -lz -lpthread)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
 #include <thread>
+#include <utility>
 #include <vector>
 
 #include <zlib.h>
@@ -1196,6 +1198,117 @@ int64_t seeksv_sw_global(const int32_t* query, int64_t m,
     std::swap(cig_op[a], cig_op[b]);
   }
   return nc;
+}
+
+// Batched exact-seed candidate generation (threaded): the native form of
+// seeksv_tpu/align/seed_batch.batch_candidates (itself the exact
+// vectorization of Aligner._candidates; equivalence asserted by
+// tests/test_align.py + tests/test_native.py).  Per read: rolling 2-bit
+// k-mer hashes, prefix-bucket-bounded binary search in the sorted key
+// table, diagonal grouping with longest-consecutive-offset anchors
+// (earliest on ties), votes = hits per diagonal, ranked (-votes, diag),
+// top `top` slots emitted.
+void seeksv_seed_batch(const uint64_t* keys, const int64_t* positions,
+                       int64_t n_keys, const int64_t* prefix_tab,
+                       int32_t shift, const uint8_t* reads,
+                       const int64_t* read_off, int64_t n_reads, int32_t k,
+                       int32_t max_occ, int32_t top, int64_t* out_diag,
+                       int32_t* out_qstart, int32_t* out_alen,
+                       int32_t* out_votes, int32_t* out_ncand,
+                       int32_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = (int32_t)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if ((int64_t)n_threads > n_reads) n_threads = (int32_t)(n_reads > 0 ? n_reads : 1);
+  auto worker = [&](int64_t r0, int64_t r1) {
+    std::vector<std::pair<int64_t, int32_t>> hits;  // (diag, offset)
+    struct Cand { int64_t diag; int32_t qs, alen, votes; };
+    std::vector<Cand> cands;
+    for (int64_t r = r0; r < r1; r++) {
+      hits.clear();
+      cands.clear();
+      const uint8_t* q = reads + read_off[r];
+      const int64_t n = read_off[r + 1] - read_off[r];
+      out_ncand[r] = 0;
+      if (n < k) continue;
+      uint64_t h = 0;
+      int32_t run_valid = 0;  // consecutive non-ambiguous bases seen
+      const uint64_t mask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
+      for (int64_t i = 0; i < n; i++) {
+        const uint8_t c = q[i];
+        if (c > 3) {
+          run_valid = 0;
+          h = 0;
+          continue;
+        }
+        h = ((h << 2) | c) & mask;
+        run_valid++;
+        if (run_valid < k) continue;
+        const int64_t off = i - k + 1;
+        const int64_t p = (int64_t)(h >> shift);
+        const uint64_t* lo = std::lower_bound(
+            keys + prefix_tab[p], keys + prefix_tab[p + 1], h);
+        const uint64_t* hi = std::upper_bound(
+            lo, keys + prefix_tab[p + 1], h);
+        const int64_t cnt = hi - lo;
+        if (cnt == 0 || cnt > max_occ) continue;
+        for (const uint64_t* it = lo; it != hi; ++it)
+          hits.emplace_back(positions[it - keys] - off, (int32_t)off);
+      }
+      if (hits.empty()) continue;
+      std::sort(hits.begin(), hits.end());
+      // per-diagonal: votes + longest consecutive-offset run (earliest
+      // on ties: strict > update while scanning ascending offsets)
+      size_t a = 0;
+      while (a < hits.size()) {
+        size_t b = a;
+        const int64_t diag = hits[a].first;
+        int32_t best_start = hits[a].second, best_len = 1;
+        int32_t cur_start = hits[a].second, cur_len = 1;
+        while (++b < hits.size() && hits[b].first == diag) {
+          if (hits[b].second == hits[b - 1].second + 1) {
+            cur_len++;
+          } else {
+            cur_start = hits[b].second;
+            cur_len = 1;
+          }
+          if (cur_len > best_len) {
+            best_len = cur_len;
+            best_start = cur_start;
+          }
+        }
+        cands.push_back({diag, best_start,
+                         best_len + (int32_t)k - 1, (int32_t)(b - a)});
+        a = b;
+      }
+      std::sort(cands.begin(), cands.end(), [](const Cand& x, const Cand& y) {
+        if (x.votes != y.votes) return x.votes > y.votes;
+        return x.diag < y.diag;
+      });
+      const int32_t nc = (int32_t)std::min((size_t)top, cands.size());
+      out_ncand[r] = nc;
+      for (int32_t c = 0; c < nc; c++) {
+        out_diag[r * top + c] = cands[c].diag;
+        out_qstart[r * top + c] = cands[c].qs;
+        out_alen[r * top + c] = cands[c].alen;
+        out_votes[r * top + c] = cands[c].votes;
+      }
+    }
+  };
+  if (n_threads == 1) {
+    worker(0, n_reads);
+  } else {
+    std::vector<std::thread> ths;
+    const int64_t chunk = (n_reads + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; t++) {
+      const int64_t b0 = t * chunk;
+      const int64_t b1 = b0 + chunk < n_reads ? b0 + chunk : n_reads;
+      if (b0 >= b1) break;
+      ths.emplace_back(worker, b0, b1);
+    }
+    for (auto& th : ths) th.join();
+  }
 }
 
 // Batched global alignment with traceback + NM (threaded): row b aligns

@@ -24,7 +24,22 @@ def batch_candidates(idx: KmerIndex, reads: List[np.ndarray]
                      ) -> Dict[int, List[Tuple[int, int, int, int]]]:
     """reads: list of encoded code arrays (one per job, already
     strand-expanded by the caller).  Returns {job_i: [(diag, q_start,
-    anchor_len, votes), ...]} in the per-read ranking order."""
+    anchor_len, votes), ...]} in the per-read ranking order.
+
+    Dispatches to the threaded native kernel (csrc seeksv_seed_batch)
+    when built; the numpy path below is the oracle (equivalence asserted
+    by tests/test_native.py)."""
+    if len(reads) == 0:
+        return {}
+    from ..io import native
+    if native.seed_batch_available() and idx.prefix_tab is not None:
+        return native.seed_batch_native(idx, reads, MAX_OCC, TOP_CANDIDATES)
+    return _batch_candidates_np(idx, reads)
+
+
+def _batch_candidates_np(idx: KmerIndex, reads: List[np.ndarray]
+                         ) -> Dict[int, List[Tuple[int, int, int, int]]]:
+    """Pure-numpy batched seeding (the oracle for the native kernel)."""
     k = idx.k
     n = len(reads)
     if n == 0:

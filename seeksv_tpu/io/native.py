@@ -160,6 +160,16 @@ def _load() -> Optional[ctypes.CDLL]:
                     lib.seeksv_sw_global.argtypes = [
                         p32, ctypes.c_int64, p32, ctypes.c_int64,
                         p32, p32, ctypes.POINTER(ctypes.c_uint8)]
+                if hasattr(lib, "seeksv_seed_batch"):
+                    p32 = ctypes.POINTER(ctypes.c_int32)
+                    p64 = ctypes.POINTER(ctypes.c_int64)
+                    lib.seeksv_seed_batch.argtypes = [
+                        ctypes.POINTER(ctypes.c_uint64), p64,
+                        ctypes.c_int64, p64, ctypes.c_int32,
+                        ctypes.POINTER(ctypes.c_uint8), p64,
+                        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                        ctypes.c_int32, p64, p32, p32, p32, p32,
+                        ctypes.c_int32]
                 if hasattr(lib, "seeksv_sw_global_batch"):
                     p32 = ctypes.POINTER(ctypes.c_int32)
                     p64 = ctypes.POINTER(ctypes.c_int64)
@@ -400,6 +410,52 @@ def sw_global_native(query: np.ndarray, target: np.ndarray):
         cig_op.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return int(score.value), [(int(cig_len[i]), chr(cig_op[i]))
                               for i in range(nc)]
+
+
+def seed_batch_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "seeksv_seed_batch")
+
+
+def seed_batch_native(idx, reads, max_occ: int, top: int,
+                      n_threads: int = 0):
+    """Native batched seeding over a KmerIndex; exact
+    align.seed_batch.batch_candidates semantics (asserted by
+    tests/test_native.py).  reads: list of uint8 code arrays."""
+    lib = _load()
+    n = len(reads)
+    read_off = np.zeros(n + 1, np.int64)
+    for i, r in enumerate(reads):
+        read_off[i + 1] = read_off[i] + len(r)
+    flat = np.empty(int(read_off[-1]), np.uint8)
+    for i, r in enumerate(reads):
+        flat[read_off[i]:read_off[i + 1]] = r
+    keys = np.ascontiguousarray(idx.keys, np.uint64)
+    positions = np.ascontiguousarray(idx.positions, np.int64)
+    ptab = np.ascontiguousarray(idx.prefix_tab, np.int64)
+    shift = idx._prefix_shift(idx.k)
+    diag = np.zeros((n, top), np.int64)
+    qstart = np.zeros((n, top), np.int32)
+    alen = np.zeros((n, top), np.int32)
+    votes = np.zeros((n, top), np.int32)
+    ncand = np.zeros(n, np.int32)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    if n:
+        lib.seeksv_seed_batch(
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            positions.ctypes.data_as(p64), len(keys),
+            ptab.ctypes.data_as(p64), shift,
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            read_off.ctypes.data_as(p64), n, idx.k, max_occ, top,
+            diag.ctypes.data_as(p64), qstart.ctypes.data_as(p32),
+            alen.ctypes.data_as(p32), votes.ctypes.data_as(p32),
+            ncand.ctypes.data_as(p32), n_threads)
+    out = {}
+    for i in range(n):
+        out[i] = [(int(diag[i, c]), int(qstart[i, c]), int(alen[i, c]),
+                   int(votes[i, c])) for c in range(int(ncand[i]))]
+    return out
 
 
 def sw_global_batch_available() -> bool:

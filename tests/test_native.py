@@ -110,6 +110,40 @@ def test_sw_global_batch_vs_single():
         assert gnm == enm
 
 
+@pytest.mark.skipif(not native.seed_batch_available(),
+                    reason="native lib not built")
+def test_seed_batch_native_vs_numpy():
+    """Native batched seeding == the numpy batch_candidates (which is
+    itself the exact vectorization of Aligner._candidates), including
+    anchor tie-breaks, votes, MAX_OCC filtering, and ambiguous bases."""
+    from seeksv_tpu.align.index import KmerIndex
+    from seeksv_tpu.align import seed_batch as sb
+    rng = np.random.default_rng(21)
+    # small genome with planted repeats so MAX_OCC and vote ties trigger
+    g = rng.integers(0, 4, 20_000).astype(np.uint8)
+    unit = g[1000:1100].copy()
+    for rep in range(40):
+        p = 5000 + rep * 150
+        g[p:p + 100] = unit
+    seqs = {"c1": np.frombuffer(bytes(b"ACGT"[c] for c in g), np.uint8)}
+    idx = KmerIndex.build(seqs, k=13)
+    reads = []
+    for _ in range(60):
+        s = int(rng.integers(0, len(g) - 80))
+        r = g[s:s + int(rng.integers(20, 80))].copy()
+        m = rng.random(len(r)) < 0.05
+        r[m] = (r[m] + 1) % 4
+        amb = rng.random(len(r)) < 0.02
+        r[amb] = 4  # ambiguous
+        reads.append(r)
+    reads.append(np.zeros(5, np.uint8))   # shorter than k
+    reads.append(unit.copy())             # pure repeat read
+    want = sb._batch_candidates_np(idx, reads)
+    got = native.seed_batch_native(idx, reads, sb.MAX_OCC,
+                                   sb.TOP_CANDIDATES)
+    assert got == want
+
+
 def test_coverage_depth_matches_cumsum():
     rng = np.random.default_rng(3)
     starts = rng.integers(-50, 1100, 800)
