@@ -395,7 +395,10 @@ static void fill_records(const std::vector<const uint8_t*>& rec_ptrs,
       out->isize[i] = tlen;
       out->l_qseq[i] = l_seq;
       const uint8_t* body = q + 32;
-      memcpy(out->qnames + out->qname_off[i], body, l_read_name - 1);
+      // lazy mode also skips qname copies for fully-mapped-pair records:
+      // the streaming consumers read qnames only to pair unmapped mates
+      if (!lazy_seq || (flag & 0xC) != 0)
+        memcpy(out->qnames + out->qname_off[i], body, l_read_name - 1);
       body += l_read_name;
       memcpy(out->cig + out->cig_off[i], body, 4 * (size_t)n_cigar);
       bool need_seq = true;
@@ -906,6 +909,195 @@ void seeksv_coverage_diff(const int64_t* starts, const int64_t* ends,
     diff[e] -= weights[i];
   }
 }
+
+}  // extern "C" — paused for C++ includes; reopened below
+
+// ---------------------------------------------------------------------------
+// getclip consensus merge (host streaming hot path).
+//
+// The ordered per-breakpoint multimap with the v1.2.0 oracle's greedy
+// first-match longest-wins merge (ref InsertSeq clip_reads.cpp:260-283;
+// replace semantics established by probing the shipped binary — see
+// pipeline/getclip.py docstrings).  The python BreakpointMap is the
+// oracle; byte equality is asserted by the golden getclip tests and the
+// adversarial-slab stream tests.  One batched call per record run
+// replaces ~200k python map probes per 100 Mbp slab pass.
+
+#include <map>
+
+namespace {
+
+struct ClipEntry {
+  std::string sl, ql, sr, qr;                    // left/right seq + qual
+  std::vector<std::pair<int32_t, char>> cig;     // S/H-stripped pairs
+  int64_t support = 1;
+};
+
+struct ClipMapH {
+  double limit;
+  std::map<int64_t, std::vector<ClipEntry>> side[2];  // 0 = left, 1 = right
+};
+
+inline bool rate_ok(const std::string& a, const std::string& b,
+                    bool end_first, double limit) {
+  // CompareStringEndFirst/BeginFirst (ref clip_reads.cpp:194-217):
+  // match fraction over the shorter length; n == 0 -> NaN -> false
+  const size_t n = std::min(a.size(), b.size());
+  if (n == 0) return false;
+  const char* pa = end_first ? a.data() + a.size() - n : a.data();
+  const char* pb = end_first ? b.data() + b.size() - n : b.data();
+  int64_t m = 0;
+  for (size_t i = 0; i < n; i++) m += pa[i] == pb[i];
+  return (double)m / (double)n >= limit;
+}
+
+const char kCigOps[10] = "MIDNSHP=X";
+
+}  // namespace
+
+extern "C" void* seeksv_clipmap_new(double limit) {
+  ClipMapH* h = new ClipMapH();
+  h->limit = limit;
+  return h;
+}
+
+extern "C" void seeksv_clipmap_free(void* hp) {
+  delete (ClipMapH*)hp;
+}
+
+// Batched inserts, candidate rows in stream order.  Row c splits record
+// rec[c]: s_l = seq[a:ms], s_r = seq[ms:me] (record-relative); qual
+// phred+33 or "*" when the record's qual is the 0xFF sentinel; the
+// entry's CIGAR is the record's with S/H stripped.
+extern "C" void seeksv_clipmap_insert_slab(
+    void* hp, const uint8_t* seq, const uint8_t* qual,
+    const int64_t* seq_off, const uint32_t* cig, const int64_t* cig_off,
+    int64_t n_cand, const int64_t* rec, const int32_t* side,
+    const int64_t* pos, const int32_t* a, const int32_t* ms,
+    const int32_t* me, const uint8_t* leftclip) {
+  ClipMapH* h = (ClipMapH*)hp;
+  std::string sl, ql, sr, qr;
+  for (int64_t c = 0; c < n_cand; c++) {
+    const int64_t r = rec[c];
+    const int64_t base = seq_off[r];
+    const int64_t qlen = seq_off[r + 1] - base;
+    const bool no_qual = qlen > 0 && qual[base] == 0xFF;
+    sl.assign((const char*)seq + base + a[c], (size_t)(ms[c] - a[c]));
+    sr.assign((const char*)seq + base + ms[c], (size_t)(me[c] - ms[c]));
+    if (no_qual) {
+      ql = "*";
+      qr = "*";
+    } else {
+      ql.resize(sl.size());
+      for (size_t i = 0; i < sl.size(); i++)
+        ql[i] = (char)(qual[base + a[c] + i] + 33);
+      qr.resize(sr.size());
+      for (size_t i = 0; i < sr.size(); i++)
+        qr[i] = (char)(qual[base + ms[c] + i] + 33);
+    }
+    const bool lc = leftclip[c] != 0;
+    auto& entries = h->side[side[c]][pos[c]];
+    bool merged = false;
+    for (ClipEntry& e : entries) {
+      if (rate_ok(sl, e.sl, true, h->limit)
+          && rate_ok(sr, e.sr, false, h->limit)) {
+        // v1.2.0 replace merge: each side replaced wholesale by a
+        // strictly longer incoming side; CIGAR follows the aligned side
+        bool grew_l = sl.size() > e.sl.size();
+        bool grew_r = sr.size() > e.sr.size();
+        if (grew_l) { e.sl = sl; e.ql = ql; }
+        if (grew_r) { e.sr = sr; e.qr = qr; }
+        if ((grew_l && !lc) || (grew_r && lc)) {
+          e.cig.clear();
+          for (int64_t x = cig_off[r]; x < cig_off[r + 1]; x++) {
+            const uint32_t op = cig[x] & 0xF;
+            if (op == 4 || op == 5) continue;  // S, H
+            e.cig.emplace_back((int32_t)(cig[x] >> 4), kCigOps[op]);
+          }
+        }
+        e.support++;
+        merged = true;
+        break;
+      }
+    }
+    if (!merged) {
+      entries.emplace_back();
+      ClipEntry& e = entries.back();
+      e.sl = sl; e.ql = ql; e.sr = sr; e.qr = qr;
+      for (int64_t x = cig_off[r]; x < cig_off[r + 1]; x++) {
+        const uint32_t op = cig[x] & 0xF;
+        if (op == 4 || op == 5) continue;
+        e.cig.emplace_back((int32_t)(cig[x] >> 4), kCigOps[op]);
+      }
+    }
+  }
+}
+
+// Flush: serialize both sides (left/'5' then right/'3', positions
+// ascending, entries in insertion order) as the clip.gz text and the
+// clip.fq text (ref DisplaySClipReadsAndClipFq clip_reads.h:300-345),
+// then clear the maps.  Returns malloc'd buffers (caller frees via
+// seeksv_blob_free).
+extern "C" void seeksv_clipmap_flush(void* hp, const char* chrom,
+                                     uint8_t** soft_out, int64_t* soft_len,
+                                     uint8_t** fq_out, int64_t* fq_len) {
+  ClipMapH* h = (ClipMapH*)hp;
+  std::string soft, fq;
+  char num[32];
+  for (int s = 0; s < 2; s++) {
+    const char orient = s == 0 ? '5' : '3';
+    for (auto& kv : h->side[s]) {
+      for (ClipEntry& e : kv.second) {
+        const std::string& aligned = s == 0 ? e.sr : e.sl;
+        const std::string& aligned_q = s == 0 ? e.qr : e.ql;
+        const std::string& clipped = s == 0 ? e.sl : e.sr;
+        const std::string& clipped_q = s == 0 ? e.ql : e.qr;
+        soft += chrom;
+        soft += '\t';
+        snprintf(num, sizeof(num), "%lld", (long long)kv.first);
+        soft += num;
+        soft += '\t';
+        soft += orient;
+        soft += '\t';
+        for (auto& p : e.cig) {
+          snprintf(num, sizeof(num), "%d", p.first);
+          soft += num;
+          soft += p.second;
+        }
+        soft += '\t';
+        soft += aligned;
+        soft += '\t';
+        soft += aligned_q;
+        soft += '\t';
+        soft += clipped;
+        soft += '\t';
+        soft += clipped_q;
+        soft += '\t';
+        snprintf(num, sizeof(num), "%lld", (long long)e.support);
+        soft += num;
+        soft += '\n';
+        fq += '@';
+        fq += clipped;
+        fq += '\n';
+        fq += clipped;
+        fq += "\n+\n";
+        fq += clipped_q;
+        fq += '\n';
+      }
+    }
+    h->side[s].clear();
+  }
+  *soft_len = (int64_t)soft.size();
+  *soft_out = (uint8_t*)malloc(soft.size() ? soft.size() : 1);
+  memcpy(*soft_out, soft.data(), soft.size());
+  *fq_len = (int64_t)fq.size();
+  *fq_out = (uint8_t*)malloc(fq.size() ? fq.size() : 1);
+  memcpy(*fq_out, fq.data(), fq.size());
+}
+
+extern "C" void seeksv_blob_free(uint8_t* p) { free(p); }
+
+extern "C" {  // — reopened (paused above for C++ includes)
 
 // Prefix sums (np.cumsum is a scalar-op loop in this numpy build: ~4 s
 // per 100M int32 on the 2-vCPU host; these run at memory bandwidth).

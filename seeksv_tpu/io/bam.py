@@ -152,11 +152,13 @@ class BamRecords:
 class LazyQnames:
     """List-like view over a concatenated qname blob + offsets; avoids
     materializing hundreds of thousands of bytes objects when qnames are
-    only touched for the sparse unmapped/clip subsets."""
+    only touched for the sparse unmapped/clip subsets.  The blob may be
+    bytes or a uint8 array view into the native decoder's buffer (the
+    owning BamRecords keeps it alive); per-access slices copy out."""
 
     __slots__ = ("blob", "off")
 
-    def __init__(self, blob: bytes, off: np.ndarray):
+    def __init__(self, blob, off: np.ndarray):
         self.blob = blob
         self.off = off
 
@@ -164,7 +166,8 @@ class LazyQnames:
         return len(self.off) - 1
 
     def __getitem__(self, i):
-        return self.blob[self.off[i]:self.off[i + 1]]
+        b = self.blob[self.off[i]:self.off[i + 1]]
+        return b if isinstance(b, bytes) else b.tobytes()
 
     def __iter__(self):
         for i in range(len(self)):

@@ -160,6 +160,21 @@ def _load() -> Optional[ctypes.CDLL]:
                     lib.seeksv_sw_global.argtypes = [
                         p32, ctypes.c_int64, p32, ctypes.c_int64,
                         p32, p32, ctypes.POINTER(ctypes.c_uint8)]
+                if hasattr(lib, "seeksv_clipmap_new"):
+                    p32 = ctypes.POINTER(ctypes.c_int32)
+                    p64 = ctypes.POINTER(ctypes.c_int64)
+                    pu8 = ctypes.POINTER(ctypes.c_uint8)
+                    lib.seeksv_clipmap_new.restype = ctypes.c_void_p
+                    lib.seeksv_clipmap_new.argtypes = [ctypes.c_double]
+                    lib.seeksv_clipmap_free.argtypes = [ctypes.c_void_p]
+                    lib.seeksv_clipmap_insert_slab.argtypes = [
+                        ctypes.c_void_p, pu8, pu8, p64,
+                        ctypes.POINTER(ctypes.c_uint32), p64,
+                        ctypes.c_int64, p64, p32, p64, p32, p32, p32, pu8]
+                    lib.seeksv_clipmap_flush.argtypes = [
+                        ctypes.c_void_p, ctypes.c_char_p,
+                        ctypes.POINTER(pu8), p64, ctypes.POINTER(pu8), p64]
+                    lib.seeksv_blob_free.argtypes = [pu8]
                 if hasattr(lib, "seeksv_seed_batch"):
                     p32 = ctypes.POINTER(ctypes.c_int32)
                     p64 = ctypes.POINTER(ctypes.c_int64)
@@ -221,7 +236,9 @@ def _soa_to_records(lib, h, path: str):
     owner = _Owner(lib, h)
     n = int(s.n)
     qname_off = _view(s.qname_off, n + 1, np.int64)
-    qblob = _view(s.qnames, s.n_qname_total, np.uint8).tobytes()
+    # zero-copy qname blob view (LazyQnames copies per access; the owner
+    # on the BamRecords keeps the native buffer alive)
+    qblob = _view(s.qnames, s.n_qname_total, np.uint8)
     names_blob = _view(s.ref_names, s.ref_names_len, np.uint8).tobytes()
     ref_names = [x.decode() for x in names_blob.split(b"\x00") if x]
     ref_lens = _view(s.ref_lens, s.n_refs, np.int32).tolist()
@@ -410,6 +427,74 @@ def sw_global_native(query: np.ndarray, target: np.ndarray):
         cig_op.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return int(score.value), [(int(cig_len[i]), chr(cig_op[i]))
                               for i in range(nc)]
+
+
+class NativeClipMap:
+    """Handle to the native getclip consensus multimap (the v1.2.0
+    longest-wins merge; byte-equal outputs vs pipeline.getclip's
+    BreakpointMap, asserted by the golden/stream parity tests)."""
+
+    def __init__(self, limit: float):
+        self._lib = _load()
+        self._h = self._lib.seeksv_clipmap_new(ctypes.c_double(limit))
+
+    def insert_slab(self, recs, rows) -> None:
+        """rows: dict of candidate arrays (rec, side, pos, a, ms, me,
+        leftclip) in stream order."""
+        n = len(rows["rec"])
+        if n == 0:
+            return
+        p32 = ctypes.POINTER(ctypes.c_int32)
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        pu8 = ctypes.POINTER(ctypes.c_uint8)
+        seq = np.ascontiguousarray(recs.seq, np.uint8)
+        qual = np.ascontiguousarray(recs.qual, np.uint8)
+        seq_off = np.ascontiguousarray(recs.seq_off, np.int64)
+        cig = np.ascontiguousarray(recs.cig, np.uint32)
+        cig_off = np.ascontiguousarray(recs.cig_off, np.int64)
+        rec = np.ascontiguousarray(rows["rec"], np.int64)
+        side = np.ascontiguousarray(rows["side"], np.int32)
+        pos = np.ascontiguousarray(rows["pos"], np.int64)
+        a = np.ascontiguousarray(rows["a"], np.int32)
+        ms = np.ascontiguousarray(rows["ms"], np.int32)
+        me = np.ascontiguousarray(rows["me"], np.int32)
+        lc = np.ascontiguousarray(rows["leftclip"], np.uint8)
+        self._lib.seeksv_clipmap_insert_slab(
+            self._h, seq.ctypes.data_as(pu8), qual.ctypes.data_as(pu8),
+            seq_off.ctypes.data_as(p64),
+            cig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            cig_off.ctypes.data_as(p64), n, rec.ctypes.data_as(p64),
+            side.ctypes.data_as(p32), pos.ctypes.data_as(p64),
+            a.ctypes.data_as(p32), ms.ctypes.data_as(p32),
+            me.ctypes.data_as(p32), lc.ctypes.data_as(pu8))
+
+    def flush(self, chrom: str):
+        """Returns (clip_gz_text, clip_fq_text) bytes for the live
+        chromosome and clears the maps."""
+        pu8 = ctypes.POINTER(ctypes.c_uint8)
+        soft_p = pu8()
+        fq_p = pu8()
+        soft_n = ctypes.c_int64(0)
+        fq_n = ctypes.c_int64(0)
+        self._lib.seeksv_clipmap_flush(
+            self._h, chrom.encode(), ctypes.byref(soft_p),
+            ctypes.byref(soft_n), ctypes.byref(fq_p), ctypes.byref(fq_n))
+        soft = ctypes.string_at(soft_p, soft_n.value) if soft_n.value else b""
+        fq = ctypes.string_at(fq_p, fq_n.value) if fq_n.value else b""
+        self._lib.seeksv_blob_free(soft_p)
+        self._lib.seeksv_blob_free(fq_p)
+        return soft, fq
+
+    def __del__(self):
+        try:
+            self._lib.seeksv_clipmap_free(self._h)
+        except Exception:
+            pass
+
+
+def clipmap_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "seeksv_clipmap_new")
 
 
 def seed_batch_available() -> bool:

@@ -47,10 +47,10 @@ def getclip_sharded(bam_path: str, prefix: str, n_shards: int = 4,
     clip_candidate = (mapped & ~has_hard & (soft_first | soft_last)
                       & (recs.mapq >= min_mapq) & ((flag & FDUP) == 0))
 
-    soft_out = gzip.open(f"{prefix}.clip.gz", "wt", compresslevel=1)
-    fq_out = gzip.open(f"{prefix}.clip.fq.gz", "wt", compresslevel=1)
-    un1 = gzip.open(f"{prefix}.unmapped_1.fq.gz", "wt", compresslevel=1)
-    un2 = gzip.open(f"{prefix}.unmapped_2.fq.gz", "wt", compresslevel=1)
+    soft_out = gzip.open(f"{prefix}.clip.gz", "wb", compresslevel=1)
+    fq_out = gzip.open(f"{prefix}.clip.fq.gz", "wb", compresslevel=1)
+    un1 = gzip.open(f"{prefix}.unmapped_1.fq.gz", "wb", compresslevel=1)
+    un2 = gzip.open(f"{prefix}.unmapped_2.fq.gz", "wb", compresslevel=1)
 
     id2seq_qual: Dict[bytes, Tuple[Tuple[str, str], str]] = {}
     for i in np.nonzero(unmapped_any)[0]:

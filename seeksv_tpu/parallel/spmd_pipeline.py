@@ -217,8 +217,9 @@ def spmd_getclip(mesh, bam_path: str, prefix: str, threshold: float = 0.85,
 
     soft_out = gzip.open(f"{prefix}.clip.gz", "wt", compresslevel=1)
     fq_out = gzip.open(f"{prefix}.clip.fq.gz", "wt", compresslevel=1)
-    un1 = gzip.open(f"{prefix}.unmapped_1.fq.gz", "wt", compresslevel=1)
-    un2 = gzip.open(f"{prefix}.unmapped_2.fq.gz", "wt", compresslevel=1)
+    # binary: _store_unmapped writes bytes
+    un1 = gzip.open(f"{prefix}.unmapped_1.fq.gz", "wb", compresslevel=1)
+    un2 = gzip.open(f"{prefix}.unmapped_2.fq.gz", "wb", compresslevel=1)
     id2seq_qual: Dict[bytes, tuple] = {}
     for i in np.nonzero((recs.flag & (FUNMAP | FMUNMAP)) != 0)[0]:
         _store_unmapped(recs, int(i), id2seq_qual, un1, un2)

@@ -66,9 +66,10 @@ class SpmdGetclipStream:
         self.save_low_quality = save_low_quality
         self.soft_out = gzip.open(f"{prefix}.clip.gz", "wt", compresslevel=1)
         self.fq_out = gzip.open(f"{prefix}.clip.fq.gz", "wt", compresslevel=1)
-        self.un1 = gzip.open(f"{prefix}.unmapped_1.fq.gz", "wt",
+        # binary: _store_unmapped writes bytes
+        self.un1 = gzip.open(f"{prefix}.unmapped_1.fq.gz", "wb",
                              compresslevel=1)
-        self.un2 = gzip.open(f"{prefix}.unmapped_2.fq.gz", "wt",
+        self.un2 = gzip.open(f"{prefix}.unmapped_2.fq.gz", "wb",
                              compresslevel=1)
         self.left = _SideSink()
         self.right = _SideSink()

@@ -145,7 +145,8 @@ def _qual_arr(recs: BamRecords, i: int, a: int, b: int) -> np.ndarray:
 
 
 def _write_chrom(chrom: str, bmap: BreakpointMap, orient: str, soft_out, fq_out):
-    """DisplaySClipReadsAndClipFq (ref: clip_reads.h:300-345)."""
+    """DisplaySClipReadsAndClipFq (ref: clip_reads.h:300-345).
+    Streams are binary; lines are built as bytes."""
     for pos, e in bmap.sorted_items():
         if orient == "5":
             aligned, aligned_q = e.seq_right, e.qual_right
@@ -154,14 +155,15 @@ def _write_chrom(chrom: str, bmap: BreakpointMap, orient: str, soft_out, fq_out)
             aligned, aligned_q = e.seq_left, e.qual_left
             clipped, clipped_q = e.seq_right, e.qual_right
         soft_out.write(
-            f"{chrom}\t{pos}\t{orient}\t{cg.to_str(e.cigar)}\t"
-            f"{aligned.tobytes().decode()}\t{aligned_q.tobytes().decode()}\t"
-            f"{clipped.tobytes().decode()}\t{clipped_q.tobytes().decode()}\t"
-            f"{e.support}\n")
+            (f"{chrom}\t{pos}\t{orient}\t{cg.to_str(e.cigar)}\t"
+             f"{aligned.tobytes().decode()}\t{aligned_q.tobytes().decode()}\t"
+             f"{clipped.tobytes().decode()}\t{clipped_q.tobytes().decode()}\t"
+             f"{e.support}\n").encode())
         if e.used == 1:
             continue
         cs = clipped.tobytes().decode()
-        fq_out.write(f"@{cs}\n{cs}\n+\n{clipped_q.tobytes().decode()}\n")
+        fq_out.write(
+            f"@{cs}\n{cs}\n+\n{clipped_q.tobytes().decode()}\n".encode())
 
 
 class GetclipStream:
@@ -178,12 +180,15 @@ class GetclipStream:
         self.threshold = threshold
         self.min_mapq = min_mapq
         self.save_low_quality = save_low_quality
-        self.soft_out = gzip.open(f"{prefix}.clip.gz", "wt", compresslevel=1)
-        self.fq_out = gzip.open(f"{prefix}.clip.fq.gz", "wt", compresslevel=1)
-        self.un1 = gzip.open(f"{prefix}.unmapped_1.fq.gz", "wt",
+        self.soft_out = gzip.open(f"{prefix}.clip.gz", "wb", compresslevel=1)
+        self.fq_out = gzip.open(f"{prefix}.clip.fq.gz", "wb", compresslevel=1)
+        self.un1 = gzip.open(f"{prefix}.unmapped_1.fq.gz", "wb",
                              compresslevel=1)
-        self.un2 = gzip.open(f"{prefix}.unmapped_2.fq.gz", "wt",
+        self.un2 = gzip.open(f"{prefix}.unmapped_2.fq.gz", "wb",
                              compresslevel=1)
+        from ..io import native
+        self._nmap = (native.NativeClipMap(threshold)
+                      if native.clipmap_available() else None)
         self.left_map = BreakpointMap()
         self.right_map = BreakpointMap()
         self.id2seq_qual: Dict[bytes, Tuple[Tuple[bytes, bytes], str]] = {}
@@ -193,10 +198,62 @@ class GetclipStream:
     def _flush(self, tid: int) -> None:
         chrom = (self.ref_names[tid] if 0 <= tid < len(self.ref_names)
                  else str(tid))
+        if self._nmap is not None:
+            soft, fq = self._nmap.flush(chrom)
+            if soft:
+                self.soft_out.write(soft)
+            if fq:
+                self.fq_out.write(fq)
+            return
         _write_chrom(chrom, self.left_map, "5", self.soft_out, self.fq_out)
         _write_chrom(chrom, self.right_map, "3", self.soft_out, self.fq_out)
         self.left_map.by_pos.clear()
         self.right_map.by_pos.clear()
+
+    def _candidate_rows(self, recs, cand, first_op, last_op, first_len,
+                        last_len, map_len):
+        """Vectorized form of the per-record _get_sclip_read case logic
+        (ref GetSClipReads clip_reads.cpp:112-192) -> candidate row
+        arrays for the native consensus map, in stream order (per record:
+        left insert before right insert)."""
+        n = len(cand)
+        sf = first_op[cand] == OP_S
+        sl = last_op[cand] == OP_S
+        both = sf & sl
+        ll = first_len[cand].astype(np.int64)
+        rl = last_len[cand].astype(np.int64)
+        lq = recs.l_qseq[cand].astype(np.int64)
+        xcskip = (recs.xc[cand] != 0) & (not self.save_low_quality)
+        fwd = (recs.flag[cand] & 0x10) == 0
+        emit_l = (sf & ~sl & ~xcskip) | (both & (~xcskip | fwd))
+        emit_r = (sl & ~sf & ~xcskip) | (both & (~xcskip | ~fwd))
+        ll_eff = np.where(both, ll, 0)
+        rl_eff = np.where(both, rl, 0)
+        pos_l = recs.pos[cand].astype(np.int64) + 1
+        pos_r = recs.pos[cand].astype(np.int64) + map_len[cand]
+        # interleave (L, R) per record, then compact by the emit masks
+        rec2 = np.repeat(np.asarray(cand, np.int64), 2)
+        is_l = np.tile(np.array([True, False]), n)
+        emit = np.empty(2 * n, bool)
+        emit[0::2] = emit_l
+        emit[1::2] = emit_r
+
+        def inter(a_l, a_r):
+            out = np.empty(2 * n, np.int64)
+            out[0::2] = a_l
+            out[1::2] = a_r
+            return out
+
+        rows = {
+            "rec": rec2[emit],
+            "side": np.where(is_l, 0, 1).astype(np.int32)[emit],
+            "pos": inter(pos_l, pos_r)[emit],
+            "a": inter(np.zeros(n, np.int64), ll_eff)[emit],
+            "ms": inter(ll, lq - rl)[emit],
+            "me": inter(lq - rl_eff, lq)[emit],
+            "leftclip": is_l.astype(np.uint8)[emit],
+        }
+        return rows
 
     def process(self, recs: BamRecords) -> None:
         self.ref_names = recs.ref_names
@@ -241,7 +298,15 @@ class GetclipStream:
                     self.last_tid = tid
                     s += 1  # quirk: flush-triggering record is dropped
                 run = mapped_idx[s:e]
-                for i in run[clip_candidate[run]]:
+                cand = run[clip_candidate[run]]
+                if self._nmap is not None:
+                    if len(cand):
+                        self._nmap.insert_slab(
+                            recs, self._candidate_rows(
+                                recs, cand, first_op, last_op, first_len,
+                                last_len, map_len))
+                    continue
+                for i in cand:
                     _get_sclip_read(recs, int(i), self.left_map,
                                     self.right_map, self.threshold,
                                     self.save_low_quality, first_op, last_op,
@@ -291,13 +356,13 @@ def _store_unmapped(recs, i, id2seq_qual, un1, un2):
         (oseq, oqual), end = ent
         if recs.flag[i] & FREAD1:
             if end == "2":
-                un1.write(f"@{name}/1\n{seq}\n+\n{qual}\n")
-                un2.write(f"@{name}/2\n{oseq}\n+\n{oqual}\n")
+                un1.write(f"@{name}/1\n{seq}\n+\n{qual}\n".encode())
+                un2.write(f"@{name}/2\n{oseq}\n+\n{oqual}\n".encode())
                 del id2seq_qual[qname]
         else:
             if end == "1":
-                un1.write(f"@{name}/1\n{oseq}\n+\n{oqual}\n")
-                un2.write(f"@{name}/2\n{seq}\n+\n{qual}\n")
+                un1.write(f"@{name}/1\n{oseq}\n+\n{oqual}\n".encode())
+                un2.write(f"@{name}/2\n{seq}\n+\n{qual}\n".encode())
                 del id2seq_qual[qname]
     else:
         end = "1" if recs.flag[i] & FREAD1 else "2"
