@@ -1120,6 +1120,28 @@ void seeksv_prefix_excl_i64(const int32_t* in, int64_t n, int64_t* out) {
   }
 }
 
+// Fused discordant-counter base mask (ref FindDiscordantReadPairs gates,
+// getsv.cpp:1027-1060 + IsConcordant cluster.cpp:136-147): one pass over
+// the SoA columns instead of ~15 boolean-temporary numpy passes.
+void seeksv_discordant_base_ok(const int32_t* flag, const int32_t* mapq,
+                               const int32_t* isize, const uint8_t* hard,
+                               int64_t n, int32_t min_mapq, int64_t min_ins,
+                               int64_t max_ins, int32_t skip_hard,
+                               uint8_t* out) {
+  for (int64_t i = 0; i < n; i++) {
+    const int32_t f = flag[i];
+    const bool fwd = (f & 0x10) == 0;
+    const bool mfwd = (f & 0x20) == 0;
+    const int64_t is = isize[i];
+    const bool conc =
+        (fwd && !mfwd && min_ins <= is && is <= max_ins) ||
+        (!fwd && mfwd && is < 0 && min_ins <= -is && -is <= max_ins);
+    bool ok = mapq[i] >= min_mapq && (f & (0x400 | 0x4 | 0x8)) == 0 && !conc;
+    if (skip_hard && hard[i]) ok = false;
+    out[i] = ok;
+  }
+}
+
 // Single-pass pileup-depth accumulation straight from the decoded SoA
 // columns (ref role: bam2depth.cpp:75-129): for every record passing the
 // mapQ gate and BAM_DEF_MASK, each M/=/X cigar segment contributes

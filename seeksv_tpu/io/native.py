@@ -114,6 +114,12 @@ def _load() -> Optional[ctypes.CDLL]:
                         p32, ctypes.c_int64, p32]
                     lib.seeksv_prefix_excl_i64.argtypes = [
                         p32, ctypes.c_int64, p64]
+                if hasattr(lib, "seeksv_discordant_base_ok"):
+                    p32 = ctypes.POINTER(ctypes.c_int32)
+                    pu8 = ctypes.POINTER(ctypes.c_uint8)
+                    lib.seeksv_discordant_base_ok.argtypes = [
+                        p32, p32, p32, pu8, ctypes.c_int64, ctypes.c_int32,
+                        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, pu8]
                 if hasattr(lib, "seeksv_depth_diff_soa"):
                     p32 = ctypes.POINTER(ctypes.c_int32)
                     p64 = ctypes.POINTER(ctypes.c_int64)
@@ -646,6 +652,33 @@ def prefix_excl_i64(a: np.ndarray) -> np.ndarray:
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return out
+
+
+def discordant_base_ok_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "seeksv_discordant_base_ok")
+
+
+def discordant_base_ok(flag, mapq, isize, hard, min_mapq: int,
+                       min_ins: int, max_ins: int,
+                       skip_hard: bool) -> np.ndarray:
+    """Fused base-eligibility mask for DiscordantCounter (one native
+    pass; numpy mask chain is the oracle, tests/test_native.py)."""
+    lib = _load()
+    n = len(flag)
+    flag = np.ascontiguousarray(flag, np.int32)
+    mapq = np.ascontiguousarray(mapq, np.int32)
+    isize = np.ascontiguousarray(isize, np.int32)
+    hard = np.ascontiguousarray(hard, np.uint8)
+    out = np.empty(n, np.uint8)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    pu8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.seeksv_discordant_base_ok(
+        flag.ctypes.data_as(p32), mapq.ctypes.data_as(p32),
+        isize.ctypes.data_as(p32), hard.ctypes.data_as(pu8), n,
+        min_mapq, min_ins, max_ins, int(skip_hard),
+        out.ctypes.data_as(pu8))
+    return out.view(bool)
 
 
 def depth_diff_soa_available() -> bool:

@@ -470,18 +470,28 @@ class DiscordantCounter:
             has_cigar = recs.cig_off[1:] > recs.cig_off[:-1]
             hard = has_cigar & ((first_op == OP_H) | (last_op == OP_H))
             end = recs.pos + recs.ref_span(count_x=True)  # bam_calend
-        flag = recs.flag
-        isize = recs.isize
-        fwd = (flag & FREVERSE) == 0
-        mfwd = (flag & FMREVERSE) == 0
-        conc = ((fwd & ~mfwd & (self.min_insert <= isize) & (isize <= self.max_insert))
-                | (~fwd & mfwd & (isize < 0)
-                   & (self.min_insert <= -isize) & (-isize <= self.max_insert)))
-        base = ((recs.mapq >= min_mapq)
-                & ((flag & (FDUP | FUNMAP | FMUNMAP)) == 0) & ~conc)
-        if skip_hard_clip:
-            base &= ~hard
-        self.base_ok = np.asarray(base)
+        from ..io import native
+        if native.discordant_base_ok_available():
+            # fused single native pass (numpy chain below is the oracle)
+            self.base_ok = native.discordant_base_ok(
+                recs.flag, recs.mapq, recs.isize,
+                np.asarray(hard, np.uint8), min_mapq, self.min_insert,
+                self.max_insert, skip_hard_clip)
+        else:
+            flag = recs.flag
+            isize = recs.isize
+            fwd = (flag & FREVERSE) == 0
+            mfwd = (flag & FMREVERSE) == 0
+            conc = ((fwd & ~mfwd & (self.min_insert <= isize)
+                     & (isize <= self.max_insert))
+                    | (~fwd & mfwd & (isize < 0)
+                       & (self.min_insert <= -isize)
+                       & (-isize <= self.max_insert)))
+            base = ((recs.mapq >= min_mapq)
+                    & ((flag & (FDUP | FUNMAP | FMUNMAP)) == 0) & ~conc)
+            if skip_hard_clip:
+                base &= ~hard
+            self.base_ok = np.asarray(base)
         self.end = end
         # int64 copy of pos made ONCE: searchsorted with python-int keys
         # silently promotes+copies an int32 array per call — at 30M
@@ -627,9 +637,10 @@ class DepthQuery:
                  cov: Optional[Dict[int, np.ndarray]] = None):
         self.name2tid = {n: i for i, n in enumerate(recs.ref_names)}
         self.ref_lens = recs.ref_lens
+        # flank ranges are <= 2*flank_length bp, so range sums are direct
+        # slice reductions — no genome-sized prefix table (800 MB + a
+        # full pass at 100 Mbp for a few thousand 400 bp queries)
         self.cov = cov if cov is not None else compute_coverage(recs, min_mapq)
-        from ..io.native import prefix_excl_i64
-        self.prefix = {t: prefix_excl_i64(c) for t, c in self.cov.items()}
 
     def point(self, chrom: str, pos1: int) -> int:
         t = self.name2tid.get(chrom)
@@ -654,7 +665,7 @@ class DepthQuery:
         hi = min(end1, self.ref_lens[t])
         if hi <= lo:
             return 0
-        s = int(self.prefix[t][hi] - self.prefix[t][lo])
+        s = int(self.cov[t][lo:hi].sum(dtype=np.int64))
         return s // denom
 
 

@@ -144,6 +144,31 @@ def test_seed_batch_native_vs_numpy():
     assert got == want
 
 
+@pytest.mark.skipif(not native.discordant_base_ok_available(),
+                    reason="native lib not built")
+def test_discordant_base_ok_vs_numpy():
+    rng = np.random.default_rng(31)
+    n = 5000
+    flag = rng.integers(0, 0xFFF, n).astype(np.int32)
+    mapq = rng.integers(0, 61, n).astype(np.int32)
+    isize = rng.integers(-1200, 1200, n).astype(np.int32)
+    hard = (rng.random(n) < 0.1)
+    for skip_hard in (True, False):
+        for mn, mx in ((400, 600), (0, 0)):
+            fwd = (flag & 0x10) == 0
+            mfwd = (flag & 0x20) == 0
+            conc = ((fwd & ~mfwd & (mn <= isize) & (isize <= mx))
+                    | (~fwd & mfwd & (isize < 0)
+                       & (mn <= -isize) & (-isize <= mx)))
+            want = (mapq >= 20) & ((flag & (0x400 | 0x4 | 0x8)) == 0) & ~conc
+            if skip_hard:
+                want = want & ~hard
+            got = native.discordant_base_ok(flag, mapq, isize,
+                                            hard.astype(np.uint8), 20,
+                                            mn, mx, skip_hard)
+            assert np.array_equal(got, want)
+
+
 def test_coverage_depth_matches_cumsum():
     rng = np.random.default_rng(3)
     starts = rng.integers(-50, 1100, 800)
