@@ -102,15 +102,24 @@ class Aligner:
         if cache:
             try:
                 os.makedirs(cd, exist_ok=True)
-                np.save(os.path.join(cd, "ref.npy"), idx.ref)
-                np.save(os.path.join(cd, "keys.npy"), idx.keys)
-                np.save(os.path.join(cd, "positions.npy"), idx.positions)
-                np.save(os.path.join(cd, "prefix.npy"), idx.prefix_tab)
-                with open(meta_p + ".tmp", "w") as f:
+                # every file lands via tmp + atomic rename (concurrent
+                # builders — e.g. every multiproc worker on a cold
+                # cache — must never expose a torn .npy to a loader
+                # that already passed the meta.json commit point)
+                tag = f".tmp{os.getpid()}"
+                for name, arr in (("ref.npy", idx.ref),
+                                  ("keys.npy", idx.keys),
+                                  ("positions.npy", idx.positions),
+                                  ("prefix.npy", idx.prefix_tab)):
+                    p = os.path.join(cd, name)
+                    tmp = p + tag + ".npy"  # np.save appends .npy itself
+                    np.save(p + tag, arr)
+                    os.replace(tmp, p)
+                with open(meta_p + tag, "w") as f:
                     json.dump({"k": k, "chrom_names": list(idx.chrom_names),
                                "chrom_starts":
                                    [int(v) for v in idx.chrom_starts]}, f)
-                os.replace(meta_p + ".tmp", meta_p)  # meta last: commit point
+                os.replace(meta_p + tag, meta_p)  # meta last: commit point
             except OSError:
                 pass
         return cls(idx)

@@ -37,18 +37,24 @@ class KmerIndex:
         if self.prefix_tab is None:
             self.prefix_tab = self.build_prefix_tab(self.keys, self.k)
 
-    @staticmethod
-    def _prefix_shift(k: int) -> int:
-        return max(0, 2 * k - PREFIX_BITS)
+    def _prefix_shift(self, k: int) -> int:
+        # derived from the table's actual size so differently-sized
+        # cached tables (older 2^24 fixed ones included) stay valid
+        bits = max(int(len(self.prefix_tab) - 1).bit_length() - 1, 0)
+        return max(0, 2 * k - bits)
 
     @classmethod
     def build_prefix_tab(cls, keys: np.ndarray, k: int) -> np.ndarray:
-        """Bucket-start table over the top PREFIX_BITS of the 2k-bit
-        hash: prefix_tab[p] = first index in keys whose prefix >= p.
-        Bounds every key lookup to one bucket (avg ~6 entries at 100 Mbp)
-        instead of a 27-level binary search over the full table."""
-        shift = cls._prefix_shift(k)
-        nb = 1 << min(PREFIX_BITS, 2 * k)
+        """Bucket-start table over the top bits of the 2k-bit hash:
+        prefix_tab[p] = first index in keys whose prefix >= p.  Bounds
+        every key lookup to one bucket (~1-8 entries) instead of a
+        27-level binary search over the full table.  Bucket count scales
+        with the index (≈ one bucket per key, capped at 2^PREFIX_BITS)
+        so a tiny reference doesn't pay a fixed 134 MB table."""
+        bits = min(PREFIX_BITS, 2 * k,
+                   max(int(len(keys)).bit_length(), 1))
+        shift = max(0, 2 * k - bits)
+        nb = 1 << bits
         prefixes = (np.arange(nb, dtype=np.uint64) << np.uint64(shift))
         tab = np.empty(nb + 1, np.int64)
         tab[:nb] = np.searchsorted(keys, prefixes, "left")

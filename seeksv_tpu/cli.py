@@ -116,13 +116,13 @@ def main(argv=None) -> int:
     pr.add_argument("-o", default="output", dest="prefix")
     pr.add_argument("--device-seed", action="store_true",
                     help="run seeding on-device against the HBM kmer table")
-    pr.add_argument("--device-align", nargs="?", const="on", default="off",
-                    choices=("on", "off", "auto"),
+    pr.add_argument("--device-align", action="store_true",
                     help="full device front-end: seed + window gather + "
-                         "extension on device (ops.align_device). 'auto' "
-                         "consults the committed calibration "
-                         "(align/device_align_calibration.json) and only "
-                         "enables it where measurement says it wins")
+                         "extension on device (ops.align_device)")
+    pr.add_argument("--device-align-auto", action="store_true",
+                    help="enable --device-align only where the committed "
+                         "calibration (align/device_align_calibration.json) "
+                         "measured a break-even")
     pr.add_argument("--normal", default=None,
                     help="normal-sample BAM: also run somatic subtraction")
     pr.add_argument("--rescue", action="store_true")
@@ -218,13 +218,11 @@ def main(argv=None) -> int:
             align_fastq_to_sam(args.ref_fa, args.reads_fq, args.out_sam,
                                min_seed_len=args.min_seed_len)
     elif args.cmd == "run":
-        if args.device_align == "auto":
+        if args.device_align_auto:
             from .ops.align_device import device_align_auto_enabled
             args.device_align = device_align_auto_enabled()
-            print(f"# --device-align auto -> {args.device_align} "
+            print(f"# --device-align-auto -> {args.device_align} "
                   "(align/device_align_calibration.json)", file=sys.stderr)
-        else:
-            args.device_align = args.device_align == "on"
         if args.stream:
             from .pipeline.stream import run_pipeline_streaming
             run_pipeline_streaming(

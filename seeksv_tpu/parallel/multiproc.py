@@ -58,9 +58,15 @@ def ingest_local(bam: str, pid: int, nproc: int,
         own = (t >= lo) & (t < hi)
         if pid == nproc - 1:
             own |= t < 0
-        # coordinate-sorted: the owned records form one contiguous run
+        # coordinate-sorted: the owned records form one contiguous run;
+        # fail loudly (not silently double-count) on an unsorted BAM
         idx = np.nonzero(own)[0]
         if len(idx):
+            if not own[int(idx[0]):int(idx[-1]) + 1].all():
+                raise ValueError(
+                    "BAM is not coordinate-grouped by tid: owned records "
+                    "are non-contiguous; multiprocess chromosome sharding "
+                    "requires a coordinate-sorted input")
             parts.append(slice_records(c, int(idx[0]), int(idx[-1]) + 1))
     if not parts:
         return None
@@ -211,15 +217,36 @@ def multiprocess_run_pipeline(mesh, ref_fa: str, bam: str, prefix: str, *,
         o.abnormal = int(c)
     log(f"[p{pid}] discordant done")
 
+    # 9. gather the rescue fastq payloads (virus-mode re-alignment input,
+    # ref OutputOneendUnmapBreakpoint getsv.cpp:1252-1288) to process 0
+    # in process order (= the sequential emission order)
+    parts = []
+    for _pos_key, cr in rescue_events:
+        if cr.type == "n":
+            parts.append(b"@" + cr.clipped_seq + b"\n" + cr.clipped_seq
+                         + b"\n+\n" + cr.clipped_qual + b"\n")
+    blob = b"".join(parts)
+    blen = np.asarray(multihost_utils.process_allgather(
+        np.asarray([len(blob)], np.int64))).reshape(-1)
+    cap = int(blen.max(initial=0))
+    padded = np.zeros(cap, np.uint8)
+    if blob:
+        padded[:len(blob)] = np.frombuffer(blob, np.uint8)
+    allb = (np.asarray(multihost_utils.process_allgather(padded))
+            .reshape(nproc, cap) if cap else np.zeros((nproc, 0), np.uint8))
+
     if pid != 0:
         return None
-    # 9. output on process 0 (global coverage is replicated)
+    # 10. output on process 0 (global coverage is replicated)
     import io
     depth = DepthQuery(_RefView(ref_names, cov), min_mapq, cov=cov)
     with open(f"{prefix}.sv", "w") as fout:
         fout.write(SV_HEADER + "\n")
         output_breakpoints(jmap, depth, 200, 3, 0, 0.1, 50, 50, 30, 1,
                            fout, io.StringIO(), True, 5, 500)
+    with open(f"{prefix}.unmapped.clip.fq", "wb") as fq:
+        for p in range(nproc):
+            fq.write(allb[p, :blen[p]].tobytes())
     log(f"[p0] wrote {prefix}.sv")
     return f"{prefix}.sv"
 

@@ -600,13 +600,16 @@ def merge_junction_sharded(jmap: JunctionMap, search_length: int,
     (up_chr, down_chr, up_strand, down_strand) and
     up_pos[k] - up_pos[i] <= search_length, so cutting the key-sorted
     table where the prefix changes or the up_pos gap exceeds
-    search_length yields fully independent partitions.  Each partition's
-    0.85 match gates are evaluated as one padded vectorized comparison
-    up front, and the partitions execute CONCURRENTLY on a thread pool
-    (the stateful replay touches disjoint items, and the heavy
-    vectorized gate work releases the GIL).  Exact vs the sequential
-    pass — asserted by tests/test_spmd_pipeline.py.  Returns the number
-    of partitions (the available parallelism)."""
+    search_length yields fully independent partitions.  The parallelism
+    is realized in the GATE phase: every partition's 0.85 match
+    comparisons (the merge's compute, >90% of its work) evaluate as ONE
+    padded data-parallel batched op.  The cheap stateful replays then
+    run per partition on a thread pool — independent and safe, though on
+    CPython they interleave under the GIL rather than speed up
+    (scripts/bench_merge.py reports the interleaving honestly; true
+    replay parallelism needs free-threading or processes).  Exact vs the
+    sequential pass — asserted by tests/test_spmd_pipeline.py.  Returns
+    the number of partitions (the available parallelism)."""
     import concurrent.futures as cf
     import os
 
@@ -644,8 +647,7 @@ def merge_junction_sharded(jmap: JunctionMap, search_length: int,
         max_workers = min(8, os.cpu_count() or 1)
     if max_workers > 1 and len(spans) > 1:
         with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
-            merged_parts = list(ex.map(
-                run, spans, chunksize=max(1, len(spans) // (4 * max_workers))))
+            merged_parts = list(ex.map(run, spans))
     else:
         merged_parts = [run(s) for s in spans]
     new = JunctionMap()

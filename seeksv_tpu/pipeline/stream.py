@@ -239,11 +239,14 @@ def scan_bam(bam_path: str, chunk_records: int,
     import threading
     q: "queue.Queue" = queue.Queue(maxsize=1)
     _SENTINEL = object()
+    stop = threading.Event()
 
     def producer():
         try:
             for recs in read_bam_chunks(bam_path, chunk_records,
                                         lazy_seq=lazy_seq):
+                if stop.is_set():  # consumer raised: abandon the decode
+                    return
                 q.put(recs)
             q.put(_SENTINEL)
         except BaseException as e:  # surfaced in the consumer loop
@@ -262,7 +265,8 @@ def scan_bam(bam_path: str, chunk_records: int,
                 cns.process(item)
             del item  # drop the slab before blocking on the next one
     finally:
-        # unblock a producer stuck on put() if the consumer raised
+        # stop + unblock a producer stuck on put() if the consumer raised
+        stop.set()
         while th.is_alive():
             try:
                 q.get_nowait()
