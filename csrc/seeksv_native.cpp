@@ -33,7 +33,10 @@
 // high-water stays ~2 slabs, the prefetch depth).
 __attribute__((constructor)) static void seeksv_tune_malloc() {
   mallopt(M_MMAP_THRESHOLD, 1 << 30);
-  mallopt(M_TRIM_THRESHOLD, 256 << 20);
+  // keep multi-GB frees on the heap: this host faults fresh anonymous
+  // pages at ~150 MB/s, so handing a 2 GB buffer back to the OS costs
+  // ~13 s to refault on the next allocation of the same size
+  mallopt(M_TRIM_THRESHOLD, 1 << 30);
 }
 #endif
 

@@ -190,6 +190,9 @@ class SpmdStreamStats:
         self._update_fn = None
         self._hist_fn = None
 
+    def reserve_hint(self, n_records: int) -> None:
+        self._cols.hint(n_records)
+
     # ---- device steps ----------------------------------------------------
     def _build_fns(self):
         import jax

@@ -81,6 +81,13 @@ class _GrowCols:
             self.buf[k] = nb
         self.cap = new_cap
 
+    def hint(self, n_records: int) -> None:
+        """Pre-size the buffers (untouched pages cost nothing; doubling
+        regrowth at the GB scale costs seconds of page faults on this
+        host).  Call before the first append."""
+        if self.n == 0 and n_records > self.cap:
+            self._reserve(n_records)
+
     def append(self, **cols) -> None:
         m = len(next(iter(cols.values())))
         self._reserve(m)
@@ -113,6 +120,9 @@ class StreamStats:
         self.ref_names: List[str] = []
         self.ref_lens: List[int] = []
         self.n = 0
+
+    def reserve_hint(self, n_records: int) -> None:
+        self._cols.hint(n_records)
 
     def process(self, recs: BamRecords) -> None:
         self.ref_names = recs.ref_names
@@ -229,6 +239,18 @@ def scan_bam(bam_path: str, chunk_records: int,
     lazy_seq=True skips base decode for unclipped fully-mapped records
     (GetclipStream/StreamStats never read those bases; pass False for
     consumers that read every record's seq/qual)."""
+    import os
+    # record-count estimate from the compressed size (~23 B/record at
+    # 100 bp reads): lets accumulators pre-size instead of doubling
+    try:
+        est = os.path.getsize(bam_path) // 16
+    except OSError:
+        est = 0
+    if est:
+        for cns in consumers:
+            h = getattr(cns, "reserve_hint", None)
+            if h is not None:
+                h(est)
     if not prefetch:
         for recs in read_bam_chunks(bam_path, chunk_records,
                                     lazy_seq=lazy_seq):
