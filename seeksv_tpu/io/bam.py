@@ -103,21 +103,36 @@ class BamRecords:
     def ref_name(self, tid: int) -> str:
         return self.ref_names[tid]
 
-    # vectorized helpers -------------------------------------------------
+    # vectorized helpers (memoized: multiple streaming consumers ask for
+    # the same columns per slab) ----------------------------------------
+    _memo: dict = None
+
+    def _cached(self, key, fn):
+        if self._memo is None:
+            object.__setattr__(self, "_memo", {})
+        v = self._memo.get(key)
+        if v is None:
+            v = self._memo[key] = fn()
+        return v
+
     def first_op(self) -> np.ndarray:
         """CIGAR op code of the first op per record (-1 when no cigar)."""
-        out = np.full(self.n, -1, dtype=np.int32)
-        has = self.cig_off[1:] > self.cig_off[:-1]
-        idx = self.cig_off[:-1][has]
-        out[has] = (self.cig[idx] & 0xF).astype(np.int32)
-        return out
+        def compute():
+            out = np.full(self.n, -1, dtype=np.int32)
+            has = self.cig_off[1:] > self.cig_off[:-1]
+            idx = self.cig_off[:-1][has]
+            out[has] = (self.cig[idx] & 0xF).astype(np.int32)
+            return out
+        return self._cached("first_op", compute)
 
     def last_op(self) -> np.ndarray:
-        out = np.full(self.n, -1, dtype=np.int32)
-        has = self.cig_off[1:] > self.cig_off[:-1]
-        idx = self.cig_off[1:][has] - 1
-        out[has] = (self.cig[idx] & 0xF).astype(np.int32)
-        return out
+        def compute():
+            out = np.full(self.n, -1, dtype=np.int32)
+            has = self.cig_off[1:] > self.cig_off[:-1]
+            idx = self.cig_off[1:][has] - 1
+            out[has] = (self.cig[idx] & 0xF).astype(np.int32)
+            return out
+        return self._cached("last_op", compute)
 
     def first_len(self) -> np.ndarray:
         out = np.zeros(self.n, dtype=np.int32)
@@ -139,14 +154,18 @@ class BamRecords:
         count_x=False -> M/D/N/=   (GenerateCigar's `l`, ref:
                          clip_reads.cpp:322 — X is *not* counted there)
         """
-        ops = (self.cig & 0xF).astype(np.int32)
-        lens = (self.cig >> 4).astype(np.int64)
-        consume = (ops == OP_M) | (ops == OP_D) | (ops == OP_N) | (ops == OP_EQ)
-        if count_x:
-            consume |= ops == OP_X
-        vals = np.where(consume, lens, 0)
-        csum = np.concatenate([[0], np.cumsum(vals)])
-        return (csum[self.cig_off[1:]] - csum[self.cig_off[:-1]]).astype(np.int32)
+        def compute():
+            ops = (self.cig & 0xF).astype(np.int32)
+            lens = (self.cig >> 4).astype(np.int64)
+            consume = ((ops == OP_M) | (ops == OP_D) | (ops == OP_N)
+                       | (ops == OP_EQ))
+            if count_x:
+                consume |= ops == OP_X
+            vals = np.where(consume, lens, 0)
+            csum = np.concatenate([[0], np.cumsum(vals)])
+            return (csum[self.cig_off[1:]]
+                    - csum[self.cig_off[:-1]]).astype(np.int32)
+        return self._cached(("ref_span", count_x), compute)
 
 
 class LazyQnames:
