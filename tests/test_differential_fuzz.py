@@ -10,6 +10,7 @@ import os
 import shutil
 import stat
 import subprocess
+import subprocess as _sp
 
 import numpy as np
 import pytest
@@ -23,6 +24,15 @@ from seeksv_tpu.utils.simulate import (build_donor, random_genome,
                                        simulate_reads, write_fasta)
 
 BIN_SRC = "/root/reference/example/bin/seeksv"
+
+
+def _run_oracle(*args, **kw):
+    """subprocess.run with one retry: the ORACLE binary occasionally dies
+    to transient resource pressure under full-suite load on this host."""
+    r = _sp.run(*args, **kw)
+    if r.returncode != 0:
+        r = _sp.run(*args, **kw)
+    return r
 
 
 @pytest.fixture(scope="module")
@@ -65,7 +75,7 @@ def _prep(tmp_path, seed, events, with_repeat=False, G=100_000, coverage=35,
 def _compare_getsv(ref_bin, d):
     getsv(f"{d}/s.clip.sam", f"{d}/sim.bam", f"{d}/s.clip.gz",
           f"{d}/ours.sv", f"{d}/ours.fq", filtered_out=io.StringIO())
-    r = subprocess.run(
+    r = _run_oracle(
         [ref_bin, "getsv", f"{d}/s.clip.sam", f"{d}/sim.bam",
          f"{d}/s.clip.gz", f"{d}/ref.sv", f"{d}/ref.fq"],
         capture_output=True, text=True)
@@ -98,7 +108,7 @@ def test_fuzz_read_length_profiles_vs_binary(tmp_path, ref_bin, read_len,
     d = _prep(tmp_path, 48 + read_len, dict(
         deletions=[(22_000, 23_500)], inversions=[(60_000, 61_200)]),
         read_len=read_len, insert_mean=insert_mean)
-    r = subprocess.run([ref_bin, "getclip", "-o", f"{d}/ref", f"{d}/sim.bam"],
+    r = _run_oracle([ref_bin, "getclip", "-o", f"{d}/ref", f"{d}/sim.bam"],
                        capture_output=True)
     assert r.returncode == 0
     for suffix in ("clip.gz", "clip.fq.gz"):
@@ -112,7 +122,7 @@ def test_fuzz_getclip_vs_binary(tmp_path, ref_bin):
     """getclip parity on a simulated dataset with INV clips (both sides)."""
     d = _prep(tmp_path, 45, dict(deletions=[(20_000, 21_000)],
                                  inversions=[(60_000, 62_000)]))
-    r = subprocess.run([ref_bin, "getclip", "-o", f"{d}/ref", f"{d}/sim.bam"],
+    r = _run_oracle([ref_bin, "getclip", "-o", f"{d}/ref", f"{d}/sim.bam"],
                        capture_output=True)
     assert r.returncode == 0
     for suffix in ("clip.gz", "clip.fq.gz"):
@@ -146,7 +156,7 @@ def test_fuzz_somatic_vs_binary(tmp_path, ref_bin):
           f"{d}/tumor.sv", f"{d}/t.fq", filtered_out=io.StringIO())
     somatic(f"{d}/normal.bam", f"{d}/normal.clip.gz", f"{d}/tumor.sv",
             f"{d}/ours.somatic.sv")
-    r = subprocess.run(
+    r = _run_oracle(
         [ref_bin, "somatic", f"{d}/normal.bam", f"{d}/normal.clip.gz",
          f"{d}/tumor.sv", f"{d}/ref.somatic.sv"],
         capture_output=True, text=True)
@@ -194,7 +204,7 @@ def test_flag_matrix_vs_binary(tmp_path, ref_bin, example_dir,
     clip_sam = str(golden_dir / "cancer.clip.sam")
     clip_gz = str(golden_dir / "cancer.clip.gz")
     ref_sv = str(tmp_path / "ref.sv")
-    r = subprocess.run([ref_bin, "getsv", *flags, clip_sam, bam, clip_gz,
+    r = _run_oracle([ref_bin, "getsv", *flags, clip_sam, bam, clip_gz,
                         ref_sv, str(tmp_path / "ref.fq")],
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stderr[-400:]
@@ -242,7 +252,7 @@ def test_rescue_mode_gate_vs_binary(tmp_path, ref_bin):
                       (("-a", "2"), dict(min_one_side_clip=2)),
                       (("-a", "30"), dict(min_one_side_clip=30)),
                       (("-r",), dict(rescue_mode=False))):
-        r = subprocess.run(
+        r = _run_oracle(
             [ref_bin, "getsv", *extra, f"{d}/s.clip.sam", f"{d}/sim.bam",
              f"{d}/s.clip.gz", f"{d}/ref.sv", f"{d}/r.fq"],
             capture_output=True, text=True)
@@ -258,7 +268,7 @@ def test_repeat_depth_gate_vs_binary(tmp_path, ref_bin, example_dir,
     """v1.2.0's -R repetitive-coverage gate (removed in v1.2.2): drop rows
     when either breakend's output depth reaches the threshold."""
     bam = str(example_dir / "cancer.sort.bam")
-    r = subprocess.run(
+    r = _run_oracle(
         [ref_bin, "getsv", "-R", str(rval),
          str(golden_dir / "cancer.clip.sam"), bam,
          str(golden_dir / "cancer.clip.gz"),
