@@ -29,10 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BIN_DIR = "/root/reference/example/bin"
 
 
-def build_dataset(root, G, cov, read_len, seed, n_events, with_repeats):
+def build_dataset(root, G, cov, read_len, seed, n_events, with_repeats,
+                  virus_kb=0, virus_events=0, virus_div=0.04):
     from seeksv_tpu.io.bai import build_index
-    from seeksv_tpu.utils.simulate import (build_donor, random_genome,
-                                           simulate_reads, write_fasta)
+    from seeksv_tpu.utils.simulate import (build_donor, mutate,
+                                           random_genome, simulate_reads,
+                                           write_fasta)
     os.makedirs(root, exist_ok=True)
     done = os.path.join(root, ".done")
     if os.path.exists(done):
@@ -47,19 +49,63 @@ def build_dataset(root, G, cov, read_len, seed, n_events, with_repeats):
             g[dst:dst + ln] = g[src:src + ln]
     ref = {"chr17": g}
     margin = 50_000
-    slots = np.linspace(margin, G - margin - 10_000, max(n_events, 1))
-    dels, invs = [], []
-    for p in slots:
-        ln = int(rng.integers(200, 5_000))
-        (dels if rng.random() < 0.65 else invs).append((int(p), int(p) + ln))
-    donor = build_donor(ref, deletions=dels, inversions=invs)
+    # one global slot array so del/inv intervals and virus insertion
+    # points never overlap (build_donor requires disjoint sorted events)
+    n_slots = max(n_events + virus_events, 1)
+    slots = np.linspace(margin, G - margin - 10_000, n_slots)
+    spacing = (G - 2 * margin - 10_000) / n_slots
+    max_ev_len = int(min(5_000, max(spacing - 1_000, 300)))
+    kinds = np.array(["sv"] * n_events + ["virus"] * virus_events)
+    rng.shuffle(kinds)
+    dels, invs, inss = [], [], []
+    vtruth = []
+    if virus_kb:
+        virus = random_genome(rng, virus_kb * 1000)
+        ref["virus"] = virus
+        # the donor's integrated strain diverges from the reference
+        # contig (mutate docstring; ROOFLINE.md §4 workload class)
+        vmut = mutate(rng, virus, virus_div)
+        # each integration takes a DISJOINT slice of the panel when it is
+        # big enough (a multi-virus integration panel): overlapping draws
+        # make two host sites share virus sequence, which is a genuinely
+        # ambiguous call the two pipelines may resolve differently —
+        # disjoint slices keep the byte-parity contract checkable
+        vblock = 2_000
+        if virus_kb * 1000 >= virus_events * vblock + vblock:
+            vstarts = rng.permutation(virus_kb * 1000 // vblock - 1)[
+                :virus_events] * vblock
+        else:
+            vstarts = None
+        vi = 0
+    for p, kind in zip(slots, kinds):
+        if kind == "sv":
+            ln = int(rng.integers(200, max_ev_len))
+            (dels if rng.random() < 0.65
+             else invs).append((int(p), int(p) + ln))
+        else:
+            vlen = int(rng.integers(500, 2_000))
+            if vstarts is not None:
+                voff = int(vstarts[vi])
+                vi += 1
+            else:
+                voff = int(rng.integers(0, len(vmut) - vlen))
+            inss.append((int(p), vmut[voff:voff + vlen]))
+            # left junction: chr17:p -> virus:voff(+) ; right junction:
+            # virus:voff+vlen -> chr17:p+1 (1-based breakends as sv.txt)
+            vtruth.append({"type": "VINT", "up_chrom": "chr17", "up": int(p),
+                           "down_chrom": "virus", "down": voff + 1,
+                           "right_up": voff + vlen,
+                           "right_down": int(p) + 1})
+    donor = build_donor(ref, deletions=dels, inversions=invs,
+                        insertions=inss)
     with open(os.path.join(root, "truth.json"), "w") as f:
         json.dump([{"type": t[0], "up_chrom": t[1], "up": int(t[2]),
                     "down_chrom": t[3], "down": int(t[4])}
-                   for t in donor.truth], f)
+                   for t in donor.truth if t[0] != "INS"] + vtruth, f)
     insert_mean = max(500, 3 * read_len)
     t0 = time.time()
-    simulate_reads(donor, ["chr17"], [G], os.path.join(root, "sim.bam"),
+    simulate_reads(donor, list(ref), [len(ref[c]) for c in ref],
+                   os.path.join(root, "sim.bam"),
                    coverage=cov, seed=seed, error_rate=0.002,
                    read_len=read_len, insert_mean=insert_mean)
     build_index(os.path.join(root, "sim.bam"))
@@ -78,7 +124,7 @@ def build_dataset(root, G, cov, read_len, seed, n_events, with_repeats):
 
 
 def run_ours(root, out_dir, stream=False, chunk_records=2_000_000,
-             device_align=False, force_device=False):
+             device_align=False, force_device=False, force_host=False):
     import io as _io
 
     from seeksv_tpu.io.bam import read_bam
@@ -111,7 +157,8 @@ def run_ours(root, out_dir, stream=False, chunk_records=2_000_000,
     aligner = realign_clips(os.path.join(root, "ref.fa"),
                             f"{prefix}.clip.fq.gz", f"{prefix}.clip.sam",
                             device_align=device_align,
-                            force_device=force_device)
+                            force_device=force_device,
+                            force_host=force_host)
     stages["realign"] = time.time() - t
     t = time.time()
     getsv(f"{prefix}.clip.sam", bam, f"{prefix}.clip.gz", f"{prefix}.sv",
@@ -120,6 +167,7 @@ def run_ours(root, out_dir, stream=False, chunk_records=2_000_000,
     stages["getsv"] = time.time() - t
     stages["total"] = time.time() - t0
     stages["aligner"] = {k: round(v, 3) for k, v in aligner.timings.items()}
+    stages["dispatch"] = getattr(aligner, "last_dispatch", None)
     return n, stages
 
 
@@ -173,6 +221,18 @@ def main():
                     help="route the batched extension rounds to the "
                          "accelerator regardless of the calibrated "
                          "crossover (device-fraction artifact runs)")
+    ap.add_argument("--force-host-extend", action="store_true",
+                    help="pin the extension rounds to the host kernels "
+                         "(the control arm of the device-win A/B; same "
+                         "platform, dispatch overridden)")
+    ap.add_argument("--virus-kb", type=int, default=0,
+                    help="add a virus contig of this many kb to the "
+                         "reference and integrate divergent segments of "
+                         "it into the donor (--virus-events sites)")
+    ap.add_argument("--virus-events", type=int, default=0)
+    ap.add_argument("--virus-divergence", type=float, default=0.04,
+                    help="strain divergence between the integrated virus "
+                         "segments and the reference virus contig")
     ap.add_argument("--skip-reference", action="store_true",
                     help="skip the reference-binary head-to-head (no "
                          "parity check; for RSS/device-fraction runs)")
@@ -188,11 +248,15 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     G = int(args.genome_mb * 1e6)
+    vtag = (f"-v{args.virus_kb}x{args.virus_events}"
+            f"d{args.virus_divergence}" if args.virus_kb else "")
     key = (f"scale-G{G}-c{args.coverage}-l{args.read_len}-s{args.seed}"
-           f"-e{args.events}{'-rep' if args.repeats else ''}")
+           f"-e{args.events}{'-rep' if args.repeats else ''}{vtag}")
     root = os.path.join(os.path.expanduser("~"), ".cache", "seeksv_tpu", key)
     build_dataset(root, G, args.coverage, args.read_len, args.seed,
-                  args.events, args.repeats)
+                  args.events, args.repeats, virus_kb=args.virus_kb,
+                  virus_events=args.virus_events,
+                  virus_div=args.virus_divergence)
 
     import resource
 
@@ -210,6 +274,7 @@ def main():
     with tempfile.TemporaryDirectory() as d:
         ref_stages = None
         ref_sv = None
+        ref_totals = []
         if not args.skip_reference:
             # best-of-N for the reference too (same methodology as our
             # side; a one-shot baseline swung bwa 0.5-2.7s between runs,
@@ -217,18 +282,22 @@ def main():
             for rt in range(max(1, args.trials)):
                 with tempfile.TemporaryDirectory() as dref:
                     st = run_reference(root, dref)
+                    ref_totals.append(round(st["total"], 3))
                     if ref_stages is None or st["total"] < ref_stages["total"]:
                         ref_stages = st
                     if rt == 0:
                         ref_sv = sv_rows(os.path.join(dref, "ref.sv"))
         n = None
         ours = None
+        ours_totals = []
         for _ in range(max(1, args.trials)):  # best-of (page/jit warm)
             with tempfile.TemporaryDirectory() as d2:
                 n, st = run_ours(root, d2, stream=args.stream,
                                  chunk_records=args.chunk_records,
                                  device_align=args.device_align,
-                                 force_device=args.force_device_extend)
+                                 force_device=args.force_device_extend,
+                                 force_host=args.force_host_extend)
+                ours_totals.append(round(st["total"], 3))
                 if ours is None or st["total"] < ours["total"]:
                     ours = st
                 if _ == 0:
@@ -236,6 +305,7 @@ def main():
         # embedded-truth DEL recall (exact breakpoint coordinates; the
         # parity channel for --skip-reference runs)
         truth_recall = None
+        virus_recall = None
         tpath = os.path.join(root, "truth.json")
         if os.path.exists(tpath):
             with open(tpath) as f:
@@ -251,15 +321,30 @@ def main():
             import numpy as _np
             cu = _np.asarray([c[1] for c in calls], _np.int64)
             cd = _np.asarray([c[3] for c in calls], _np.int64)
-            hit = 0
-            for t in dels:
-                m = (_np.abs(cu - t["up"]) <= 50) \
-                    & (_np.abs(cd - t["down"]) <= 50)
-                if any(m[i] and calls[i][0] == t["up_chrom"]
-                       and calls[i][2] == t["down_chrom"]
-                       for i in _np.nonzero(m)[0]):
-                    hit += 1
+
+            def _junction_hit(up_chrom, up, down_chrom, down):
+                m = (_np.abs(cu - up) <= 50) & (_np.abs(cd - down) <= 50)
+                return any(m[i] and calls[i][0] == up_chrom
+                           and calls[i][2] == down_chrom
+                           for i in _np.nonzero(m)[0])
+
+            hit = sum(_junction_hit(t["up_chrom"], t["up"],
+                                    t["down_chrom"], t["down"])
+                      for t in dels)
             truth_recall = round(hit / max(len(dels), 1), 4)
+            # virus integrations: each contributes two junctions
+            # (host->virus and virus->host); count both
+            vints = [t for t in truth if t["type"] == "VINT"]
+            if vints:
+                vhit = 0
+                for t in vints:
+                    vhit += _junction_hit(t["up_chrom"], t["up"],
+                                          t["down_chrom"], t["down"])
+                    vhit += _junction_hit(t["down_chrom"], t["right_up"],
+                                          t["up_chrom"], t["right_down"])
+                virus_recall = round(vhit / (2 * len(vints)), 4)
+            else:
+                virus_recall = None
         if ref_sv is not None:
             exact = ours_sv == ref_sv
             # fall back to call-coordinate comparison if text differs (the
@@ -276,6 +361,7 @@ def main():
 
     ours_rps = n / ours["total"]
     al = ours.pop("aligner", {})
+    dispatch = ours.pop("dispatch", None)
     dev_s = al.get("device_extend_s", 0.0)
     host_s = al.get("host_extend_s", 0.0)
     try:
@@ -291,6 +377,10 @@ def main():
         "genome_mb": args.genome_mb, "coverage": args.coverage,
         "read_len": args.read_len, "stream": args.stream,
         "parity": parity, "truth_del_recall": truth_recall,
+        "virus_junction_recall": virus_recall,
+        "virus": ({"kb": args.virus_kb, "events": args.virus_events,
+                   "divergence": args.virus_divergence}
+                  if args.virus_kb else None),
         "peak_rss_mb": round(resource.getrusage(
             resource.RUSAGE_SELF).ru_maxrss / 1024, 1),
         "ours_stages_s": {k: round(v, 3) for k, v in ours.items()},
@@ -305,6 +395,13 @@ def main():
         "jax_platform": platform,
         "jax_device": device,
         "force_device_extend": args.force_device_extend,
+        "force_host_extend": args.force_host_extend,
+        "dispatch": dispatch,
+        # per-trial wall clocks + spread (ADVICE r2 / VERDICT r3 weak #2:
+        # best-of-N alone hid a 4x same-config swing)
+        "trials": max(1, args.trials),
+        "ours_totals_s": ours_totals,
+        "ours_stddev_s": round(float(np.std(ours_totals)), 3),
     }
     if ref_stages is not None:
         ref_rps = n / ref_stages["total"]
@@ -313,6 +410,8 @@ def main():
                                   for k, v in ref_stages.items()}
         # both sides are best-of-N wall clocks (same trial count)
         result["ref_trials"] = max(1, args.trials)
+        result["ref_totals_s"] = ref_totals
+        result["ref_stddev_s"] = round(float(np.std(ref_totals)), 3)
     line = json.dumps(result)
     print(line)
     if args.out:

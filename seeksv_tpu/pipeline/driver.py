@@ -50,13 +50,27 @@ def write_sam(aligner, seqs, quals, alns, path) -> None:
             out.write(f"{qn}\t{16 if a.strand else 0}\t"
                       f"{aligner.idx.chrom_names[a.tid]}\t{a.pos + 1}\t"
                       f"{a.mapq}\t{_cigar_str(a.cigar)}\t*\t0\t0\t{oseq}\t{oq}\n")
+            for s in (a.supp or []):
+                # chimeric split part (bwa supplementary, flag 0x800):
+                # hard-clipped, SEQ/QUAL restricted to the aligned span
+                sseq, sq = oseq, oq
+                if s.strand != a.strand:
+                    sseq = bytes(
+                        _RC[np.frombuffer(sseq.encode(),
+                                          np.uint8)][::-1]).decode()
+                    sq = sq[::-1]
+                out.write(f"{qn}\t{2048 | (16 if s.strand else 0)}\t"
+                          f"{aligner.idx.chrom_names[s.tid]}\t{s.pos + 1}\t"
+                          f"{s.mapq}\t{_cigar_str(s.cigar)}\t*\t0\t0\t"
+                          f"{sseq[s.qb:s.qe]}\t{sq[s.qb:s.qe]}\n")
 
 
 def realign_clips(ref_fa: str, clip_fq: str, out_sam: str,
                   aligner: Optional[BatchAligner] = None,
                   device_seed: bool = False,
                   device_align: bool = False,
-                  force_device: bool = False) -> BatchAligner:
+                  force_device: bool = False,
+                  force_host: bool = False) -> BatchAligner:
     t0 = time.perf_counter()
     if aligner is None:
         aligner = BatchAligner.from_fasta(ref_fa)
@@ -72,7 +86,8 @@ def realign_clips(ref_fa: str, clip_fq: str, out_sam: str,
     seqs, quals = _read_fastq(clip_fq)
     aligner.timings["read_fq_s"] = \
         aligner.timings.get("read_fq_s", 0.0) + time.perf_counter() - t0
-    alns = aligner.batch_align(seqs, force_device=force_device)
+    alns = aligner.batch_align(seqs, force_device=force_device,
+                               force_host=force_host)
     t0 = time.perf_counter()
     write_sam(aligner, seqs, quals, alns, out_sam)
     aligner.timings["write_sam_s"] = \

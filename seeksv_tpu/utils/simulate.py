@@ -30,6 +30,30 @@ def random_genome(rng, length: int) -> np.ndarray:
     return BASES[rng.integers(0, 4, length)]
 
 
+def mutate(rng, seq: np.ndarray, rate: float) -> np.ndarray:
+    """Substitute a `rate` fraction of positions with a different base —
+    models strain-level divergence between a donor's integrated sequence
+    and the reference contig it aligns to (the virus-integration class
+    the reference targets, ref: README.md:60-96).  Unlike sequencing
+    error, these substitutions are shared by every read covering the
+    site, so consensus voting preserves them and the realignment step
+    sees genuinely divergent fragments."""
+    out = seq.copy()
+    n = int(len(seq) * rate)
+    if n == 0:
+        return out
+    sites = rng.choice(len(seq), n, replace=False)
+    # shift each base by 1..3 in ACGT space => always a different base
+    code = ENCODE_SIM[out[sites]]
+    out[sites] = BASES[(code + rng.integers(1, 4, n)) % 4]
+    return out
+
+
+ENCODE_SIM = np.zeros(256, np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    ENCODE_SIM[_c] = _i
+
+
 @dataclass
 class Segment:
     """One piece of the donor: a reference slice or novel sequence."""
