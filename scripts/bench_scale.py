@@ -264,6 +264,12 @@ def main():
     # of the `bwa index` run that build_dataset gives the reference side
     # (one-time per reference; cached under ~/.cache/seeksv_tpu)
     from seeksv_tpu.align.engine import BatchAligner
+    if not args.cpu_jax:
+        # fresh-host readiness: a stale dispatch calibration (different
+        # chip or upload plumbing) recalibrates itself before the timed
+        # region (VERDICT r3 #9)
+        BatchAligner.ensure_calibration(
+            auto=True, log=lambda *a: print(*a, file=sys.stderr))
     t0 = time.time()
     BatchAligner.from_fasta(os.path.join(root, "ref.fa"))
     if time.time() - t0 > 5:

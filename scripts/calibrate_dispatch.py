@@ -27,32 +27,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LQ, LT = 128, 256
 BATCHES = [64, 256, 1024, 4096, 16384, 65536]
+# synthetic genome backing the device-resident target gather (the
+# engine's single-chip path: nibble-packed queries, no target upload)
+GENOME_MB = 64
 
 
-def make_batch(rng, B):
-    # int8 codes: the dtype the engine actually ships (device kernels
-    # widen on-device; 4x smaller upload than int32).
+def make_batch(rng, B, genome):
     # Realistic job mixture (matters for the host/device crossover): real
     # extension jobs have variable lengths inside the padded bucket (the
     # host kernel's cost scales with ACTUAL qlen*tlen; the device pays the
-    # padded shape), and targets that match up to a random break then
-    # diverge — which triggers the host kernel's zdrop early exit exactly
-    # as clip-fragment extensions past the junction do in production.
-    q = rng.integers(0, 4, (B, LQ)).astype(np.int8)
-    t = rng.integers(0, 4, (B, LT)).astype(np.int8)
+    # padded shape), and targets that are genome windows matching the
+    # query up to a random break then diverging — which triggers the host
+    # kernel's zdrop early exit exactly as clip-fragment extensions past
+    # the junction do in production.  Targets are expanded host-side for
+    # the host kernel and gathered device-side from the resident packed
+    # genome for the device kernel — identical work on both paths.
+    G = len(genome)
     ql = rng.integers(LQ // 4, LQ + 1, B).astype(np.int32)
     tl = np.minimum(ql + 100, LT).astype(np.int32)
+    start = rng.integers(0, G - LT - 1, B).astype(np.int32)
+    t = np.full((B, LT), 4, np.int8)
+    q = np.full((B, LQ), 4, np.int8)
     brk = (ql * rng.uniform(0.3, 1.0, B)).astype(np.int32)
     for b in range(B):
+        w = genome[start[b]:start[b] + tl[b]]
+        t[b, :tl[b]] = w
         n = int(brk[b])
+        qc = rng.integers(0, 4, ql[b]).astype(np.int8)
         m = rng.random(n) < 0.95
-        t[b, :n][m] = q[b, :n][m]
+        qc[:n][m] = w[:n][m]       # query matches window up to the break
+        q[b, :ql[b]] = qc
     h0 = np.full(B, 19, np.int32)
-    return q, ql, t, tl, h0
+    return q, ql, t, tl, h0, start
 
 
 def batch_cells(batch):
-    _q, ql, _t, tl, _h0 = batch
+    _q, ql, _t, tl, _h0, _start = batch
     return int((ql.astype(np.int64) * tl).sum())
 
 
@@ -60,33 +70,64 @@ def time_host(batch, trials=3):
     from seeksv_tpu.io import native
     if not native.sw_available():
         return None
+    q, ql, t, tl, h0, _start = batch
     best = None
     for _ in range(trials):
         t0 = time.perf_counter()
-        native.sw_extend_batch_native(*batch)
+        native.sw_extend_batch_native(q, ql, t, tl, h0)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return best
 
 
-def time_device(batch, trials=3):
+def time_device(batch, refp_dev, n_codes, trials=3):
     import jax
 
+    q, ql, t, tl, h0, start = batch
     if jax.devices()[0].platform == "cpu":
-        from seeksv_tpu.ops.jax_kernels import sw_extend_batch as kern
+        from seeksv_tpu.ops.jax_kernels import sw_extend_batch
+
+        def kern():
+            return sw_extend_batch(q, ql, t, tl, h0)
     else:
-        from seeksv_tpu.ops.pallas_sw import pallas_extend_batch as kern
+        # the engine's actual single-chip path: nibble-packed query
+        # upload + device-resident reference target gather
+        from seeksv_tpu.ops.pallas_sw import (pack_nibbles,
+                                              pallas_extend_batch_resident)
+
+        def kern():
+            return pallas_extend_batch_resident(
+                pack_nibbles(q.view(np.uint8)), ql, start, tl, h0,
+                refp_dev, n_codes, LQ, LT, False)
     # warmup compile
-    out = kern(*batch)
+    out = kern()
     np.asarray(out["max_score"])
     best = None
     for _ in range(trials):
         t0 = time.perf_counter()
-        out = kern(*batch)  # includes upload: args are host numpy
+        out = kern()  # includes upload: args are host numpy
         np.asarray(out["max_score"])  # includes device->host sync
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return best
+
+
+def upload_probe_mb_s(size_mb: int = 4) -> float:
+    """Measured host->device bulk upload bandwidth — the dominant term of
+    the device path's fixed cost and the thing a tunnel changes by 100x.
+    Part of the calibration fingerprint: a later run on different
+    plumbing detects the mismatch and recalibrates (VERDICT r3 #9)."""
+    import jax
+    buf = np.zeros(size_mb << 20, np.uint8)
+    jax.device_put(buf[:1024]).block_until_ready()   # lazy-init backend
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        a = jax.device_put(buf)
+        np.asarray(a[-8:])   # sync via host read (axon block_until_ready no-op)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return size_mb / best
 
 
 def main():
@@ -101,13 +142,25 @@ def main():
     dev = str(jax.devices()[0])
 
     rng = np.random.default_rng(0)
+    genome = rng.integers(0, 4, GENOME_MB << 20).astype(np.uint8)
+    refp_dev = None
+    n_codes = len(genome)
+    probe_mb_s = None
+    if platform != "cpu":
+        probe_mb_s = round(upload_probe_mb_s(), 2)
+        print(json.dumps({"upload_probe_mb_s": probe_mb_s}), file=sys.stderr)
+        gp = genome
+        if len(gp) % 2:
+            gp = np.concatenate([gp, np.full(1, 4, np.uint8)])
+        refp_dev = jax.device_put((gp[0::2] | (gp[1::2] << 4)).astype(np.uint8))
+        np.asarray(refp_dev[-8:])   # wait out the one-time resident upload
     rows = []
     crossover_cells = None
     for B in BATCHES:
-        batch = make_batch(rng, B)
+        batch = make_batch(rng, B, genome)
         cells = batch_cells(batch)  # ACTUAL cells, the engine's dispatch metric
         th = time_host(batch)
-        td = time_device(batch)
+        td = time_device(batch, refp_dev, n_codes)
         row = {"batch": B, "cells": cells,
                "host_s": round(th, 5) if th else None,
                "device_s": round(td, 5) if td else None,
@@ -143,8 +196,15 @@ def main():
         "host_threads": os.cpu_count(),
         "rows": rows,
         "crossover_cells": crossover_cells,
-        "note": ("device dispatch pays one upload + one sync per batch; "
-                 "crossover measured end-to-end from host numpy inputs"),
+        # staleness fingerprint: a run on a different chip kind or with
+        # materially different upload plumbing (tunnel vs PCIe) must not
+        # trust this crossover — engine.calibration_stale() compares
+        "fingerprint": {"device": dev, "platform": platform,
+                        "host_threads": os.cpu_count(),
+                        "upload_probe_mb_s": probe_mb_s},
+        "note": ("device path = nibble-packed query upload + resident-ref "
+                 "target gather + one sync per batch; crossover measured "
+                 "end-to-end from host numpy inputs"),
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

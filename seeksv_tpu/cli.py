@@ -128,6 +128,10 @@ def main(argv=None) -> int:
     pr.add_argument("--rescue", action="store_true")
     pr.add_argument("--profile", default=None, dest="profile_dir",
                     help="write a JAX profiler trace to this directory")
+    pr.add_argument("--no-auto-calibrate", action="store_true",
+                    help="skip the dispatch-calibration fingerprint check "
+                         "(a stale calibration otherwise re-measures the "
+                         "host/device crossover on first run)")
     pr.add_argument("--stream", action="store_true",
                     help="bounded-memory ingestion: decode each BAM once "
                          "in chunks (pipeline.stream)")
@@ -218,6 +222,13 @@ def main(argv=None) -> int:
             align_fastq_to_sam(args.ref_fa, args.reads_fq, args.out_sam,
                                min_seed_len=args.min_seed_len)
     elif args.cmd == "run":
+        if not args.no_auto_calibrate:
+            # fresh-host readiness: recalibrate the dispatch crossover
+            # when the live hardware pair doesn't match the committed
+            # fingerprint (VERDICT r3 #9)
+            from .align.engine import BatchAligner
+            BatchAligner.ensure_calibration(
+                auto=True, log=lambda *a: print(*a, file=sys.stderr))
         if args.device_align_auto:
             from .ops.align_device import device_align_auto_enabled
             args.device_align = device_align_auto_enabled()

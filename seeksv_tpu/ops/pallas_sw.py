@@ -121,10 +121,8 @@ def _extend_kernel(q_ref, qlen_ref, t_ref, tlen_ref, h0_ref, out_ref):
     out_ref[pl.ds(7, 1), :] = zeros
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_extend_batch(q, qlen, t, tlen, h0, interpret=False):
-    """Batched extension via the Pallas kernel.  Shapes/returns as in
-    sw_extend_batch; the batch is padded to a multiple of 128 lanes."""
+def _pallas_core(q, qlen, t, tlen, h0, interpret=False):
+    """The shared pallas_call invocation (q/t already widened [B, L])."""
     B, LQ = q.shape
     LT = t.shape[1]
     BT = 128
@@ -157,3 +155,65 @@ def pallas_extend_batch(q, qlen, t, tlen, h0, interpret=False):
     )(qT, qlenp, tT, tlenp, h0p)
     return {"max_score": out[0, :B], "qle": out[1, :B], "tle": out[2, :B],
             "gscore": out[3, :B], "gtle": out[4, :B]}
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_extend_batch(q, qlen, t, tlen, h0, interpret=False):
+    """Batched extension via the Pallas kernel.  Shapes/returns as in
+    sw_extend_batch; the batch is padded to a multiple of 128 lanes."""
+    return _pallas_core(q, qlen, t, tlen, h0, interpret)
+
+
+# ---- nibble-packed upload path -------------------------------------------
+# On tunneled/PCIe-constrained hosts the host->device copy dominates the
+# end-to-end extension rate (ROOFLINE.md §3: 18 MB/s bulk uploads cap the
+# device at 2.4 Gcell/s vs its 80 device-only).  Codes are 0..4, so two
+# fit per byte: queries upload nibble-packed (2x smaller), and target
+# windows are not uploaded at all — they are gathered ON DEVICE from a
+# nibble-packed HBM-resident copy of the reference (uploaded once per
+# process and reused by every batch; the gather's [B, LT] intermediate
+# lives in HBM only).
+
+def pack_nibbles(a):
+    """[B, L] uint8 codes (0..4) -> [B, ceil(L/2)] uint8, host side."""
+    import numpy as np
+    B, L = a.shape
+    if L % 2:
+        a = np.concatenate([a, np.full((B, 1), 4, np.uint8)], axis=1)
+    return (a[:, 0::2] | (a[:, 1::2] << 4)).astype(np.uint8)
+
+
+def _unpack_nibbles(p, L):
+    """[B, ceil(L/2)] uint8 -> [B, L] int32 (device side)."""
+    lo = (p & 0xF).astype(jnp.int32)
+    hi = (p >> 4).astype(jnp.int32)
+    B = p.shape[0]
+    return jnp.stack([lo, hi], axis=2).reshape(B, -1)[:, :L]
+
+
+def _gather_ref_windows(refp, n_codes, start, tlen, LT, reverse):
+    """Gather [B, LT] target windows from the packed reference.
+    start is the absolute genome index of the window's FIRST element in
+    scan order; reverse=True walks backwards (left-extension windows are
+    reversed reference slices).  Out-of-range / beyond-tlen positions
+    read as 4 (ambiguous, never matches)."""
+    B = start.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, LT), 1)
+    idx = start[:, None] + (-iota if reverse else iota)
+    valid = (iota < tlen[:, None]) & (idx >= 0) & (idx < n_codes)
+    idx_c = jnp.clip(idx, 0, n_codes - 1)
+    byte = refp[idx_c >> 1]
+    nib = jnp.where((idx_c & 1) == 1, byte >> 4, byte & 0xF).astype(jnp.int32)
+    return jnp.where(valid, nib, 4)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("LQ", "LT", "reverse", "interpret"))
+def pallas_extend_batch_resident(q4, qlen, tstart, tlen, h0, refp, n_codes,
+                                 LQ, LT, reverse, interpret=False):
+    """Extension with nibble-packed query upload + device-resident
+    reference targets.  Exact-equivalent to pallas_extend_batch on the
+    corresponding unpacked inputs (tests/test_pallas.py)."""
+    q = _unpack_nibbles(q4, LQ)
+    t = _gather_ref_windows(refp, n_codes, tstart, tlen, LT, reverse)
+    return _pallas_core(q, qlen, t, tlen, h0, interpret)
