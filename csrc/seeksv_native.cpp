@@ -1425,7 +1425,12 @@ int64_t seeksv_sw_global(const int32_t* query, int64_t m,
 // table, diagonal grouping with longest-consecutive-offset anchors
 // (earliest on ties), votes = hits per diagonal, ranked (-votes, diag),
 // top `top` slots emitted.
-void seeksv_seed_batch(const uint64_t* keys, const int64_t* positions,
+// v2 packed index (align/index.py): keys_low holds only the hash bits
+// below the prefix (uint16 when shift<=16 — every production index —
+// else uint32, selected by key_bytes); positions are uint32.  6 B/kmer
+// vs the v1 16, halving cold-cache page-in on the 500 Mbp table.
+void seeksv_seed_batch(const uint8_t* keys_low, int32_t key_bytes,
+                       const uint32_t* positions,
                        int64_t n_keys, const int64_t* prefix_tab,
                        int32_t shift, const uint8_t* reads,
                        const int64_t* read_off, int64_t n_reads, int32_t k,
@@ -1464,14 +1469,24 @@ void seeksv_seed_batch(const uint64_t* keys, const int64_t* positions,
         if (run_valid < k) continue;
         const int64_t off = i - k + 1;
         const int64_t p = (int64_t)(h >> shift);
-        const uint64_t* lo = std::lower_bound(
-            keys + prefix_tab[p], keys + prefix_tab[p + 1], h);
-        const uint64_t* hi = std::upper_bound(
-            lo, keys + prefix_tab[p + 1], h);
+        const uint64_t low =
+            shift ? (h & ((shift < 64 ? (1ull << shift) : 0ull) - 1)) : 0;
+        int64_t lo = prefix_tab[p], hi = prefix_tab[p + 1];
+        if (key_bytes == 2) {
+          const uint16_t* kk = (const uint16_t*)keys_low;
+          const uint16_t q16 = (uint16_t)low;
+          lo = std::lower_bound(kk + lo, kk + hi, q16) - kk;
+          hi = std::upper_bound(kk + lo, kk + hi, q16) - kk;
+        } else {
+          const uint32_t* kk = (const uint32_t*)keys_low;
+          const uint32_t q32 = (uint32_t)low;
+          lo = std::lower_bound(kk + lo, kk + hi, q32) - kk;
+          hi = std::upper_bound(kk + lo, kk + hi, q32) - kk;
+        }
         const int64_t cnt = hi - lo;
         if (cnt == 0 || cnt > max_occ) continue;
-        for (const uint64_t* it = lo; it != hi; ++it)
-          hits.emplace_back(positions[it - keys] - off, (int32_t)off);
+        for (int64_t it = lo; it < hi; ++it)
+          hits.emplace_back((int64_t)positions[it] - off, (int32_t)off);
       }
       if (hits.empty()) continue;
       std::sort(hits.begin(), hits.end());

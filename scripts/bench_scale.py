@@ -201,6 +201,41 @@ def sv_rows(path):
         return [ln for ln in f if not ln.startswith("@")]
 
 
+def sv_recall(truth, rows):
+    """(del_recall, virus_junction_recall) of an sv.txt row list against
+    the embedded truth; +-50bp fuzzy match, the reference's own
+    comparison window (svcompare.cpp:330 MergeNear) — microhomology
+    shifts both breakends under the default -l 50 merge.  Virus
+    integrations contribute two junctions each (host->virus and
+    virus->host)."""
+    calls = []
+    for r in rows:
+        fl = r.split("\t")
+        calls.append((fl[0], int(fl[1]), fl[4], int(fl[5])))
+    cu = np.asarray([c[1] for c in calls], np.int64)
+    cd = np.asarray([c[3] for c in calls], np.int64)
+
+    def hit(up_chrom, up, down_chrom, down):
+        m = (np.abs(cu - up) <= 50) & (np.abs(cd - down) <= 50)
+        return any(m[i] and calls[i][0] == up_chrom
+                   and calls[i][2] == down_chrom
+                   for i in np.nonzero(m)[0])
+
+    dels = [t for t in truth if t["type"] == "DEL"]
+    dr = round(sum(hit(t["up_chrom"], t["up"], t["down_chrom"], t["down"])
+                   for t in dels) / max(len(dels), 1), 4)
+    vints = [t for t in truth if t["type"] == "VINT"]
+    vr = None
+    if vints:
+        vhit = 0
+        for t in vints:
+            vhit += hit(t["up_chrom"], t["up"], t["down_chrom"], t["down"])
+            vhit += hit(t["down_chrom"], t["right_up"],
+                        t["up_chrom"], t["right_down"])
+        vr = round(vhit / (2 * len(vints)), 4)
+    return dr, vr
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--genome-mb", type=float, default=10)
@@ -233,6 +268,11 @@ def main():
     ap.add_argument("--virus-divergence", type=float, default=0.04,
                     help="strain divergence between the integrated virus "
                          "segments and the reference virus contig")
+    ap.add_argument("--expect-ref-defect", action="store_true",
+                    help="long-fragment regime (clip consensi >254bp): "
+                         "the v1.2.0 oracle desyncs on qname truncation; "
+                         "record the defect and use truth recall as the "
+                         "parity channel instead of failing")
     ap.add_argument("--skip-reference", action="store_true",
                     help="skip the reference-binary head-to-head (no "
                          "parity check; for RSS/device-fraction runs)")
@@ -312,45 +352,15 @@ def main():
         # parity channel for --skip-reference runs)
         truth_recall = None
         virus_recall = None
+        ref_truth_recall = None
+        ref_virus_recall = None
         tpath = os.path.join(root, "truth.json")
         if os.path.exists(tpath):
             with open(tpath) as f:
                 truth = json.load(f)
-            calls = []
-            for r in ours_sv:
-                fl = r.split("\t")
-                calls.append((fl[0], int(fl[1]), fl[4], int(fl[5])))
-            dels = [t for t in truth if t["type"] == "DEL"]
-            # +-50bp fuzzy match, the reference's own comparison window
-            # (svcompare.cpp:330 MergeNear) — microhomology shifts both
-            # breakends under the default -l 50 merge
-            import numpy as _np
-            cu = _np.asarray([c[1] for c in calls], _np.int64)
-            cd = _np.asarray([c[3] for c in calls], _np.int64)
-
-            def _junction_hit(up_chrom, up, down_chrom, down):
-                m = (_np.abs(cu - up) <= 50) & (_np.abs(cd - down) <= 50)
-                return any(m[i] and calls[i][0] == up_chrom
-                           and calls[i][2] == down_chrom
-                           for i in _np.nonzero(m)[0])
-
-            hit = sum(_junction_hit(t["up_chrom"], t["up"],
-                                    t["down_chrom"], t["down"])
-                      for t in dels)
-            truth_recall = round(hit / max(len(dels), 1), 4)
-            # virus integrations: each contributes two junctions
-            # (host->virus and virus->host); count both
-            vints = [t for t in truth if t["type"] == "VINT"]
-            if vints:
-                vhit = 0
-                for t in vints:
-                    vhit += _junction_hit(t["up_chrom"], t["up"],
-                                          t["down_chrom"], t["down"])
-                    vhit += _junction_hit(t["down_chrom"], t["right_up"],
-                                          t["up_chrom"], t["right_down"])
-                virus_recall = round(vhit / (2 * len(vints)), 4)
-            else:
-                virus_recall = None
+            truth_recall, virus_recall = sv_recall(truth, ours_sv)
+            if ref_sv is not None:
+                ref_truth_recall, ref_virus_recall = sv_recall(truth, ref_sv)
         if ref_sv is not None:
             exact = ours_sv == ref_sv
             # fall back to call-coordinate comparison if text differs (the
@@ -361,6 +371,12 @@ def main():
             calls_equal = calls(ours_sv) == calls(ref_sv)
             parity = ("exact" if exact
                       else ("calls-equal" if calls_equal else "MISMATCH"))
+            if parity == "MISMATCH" and args.expect_ref_defect:
+                # characterized oracle breakdown (PARITY.md §8): clip
+                # consensi >254bp desync the v1.2.0 binary's co-iteration
+                # (samtools-0.1.x qname truncation) — truth recall is the
+                # parity channel in this regime, asserted below
+                parity = "ref-defect-qname-truncation"
         else:
             exact = calls_equal = True
             parity = "unchecked"
@@ -384,6 +400,8 @@ def main():
         "read_len": args.read_len, "stream": args.stream,
         "parity": parity, "truth_del_recall": truth_recall,
         "virus_junction_recall": virus_recall,
+        "ref_truth_del_recall": ref_truth_recall,
+        "ref_virus_junction_recall": ref_virus_recall,
         "virus": ({"kb": args.virus_kb, "events": args.virus_events,
                    "divergence": args.virus_divergence}
                   if args.virus_kb else None),
@@ -424,7 +442,13 @@ def main():
         with open(args.out, "a") as f:
             f.write(line + "\n")
     if not (exact or calls_equal):
-        sys.exit(1)
+        if not args.expect_ref_defect:
+            sys.exit(1)
+        # defect regime: our output must still be RIGHT — full marks on
+        # the embedded truth or the run fails
+        if (truth_recall or 0) < 0.99 or (virus_recall is not None
+                                          and virus_recall < 0.99):
+            sys.exit(1)
 
 
 if __name__ == "__main__":

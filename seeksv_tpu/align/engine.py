@@ -81,7 +81,9 @@ class Aligner:
         import os
         cdir = os.path.join(os.path.expanduser("~"), ".cache", "seeksv_tpu")
         key = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:16]
-        cd = os.path.join(cdir, f"ksi2-{key}-k{k}")
+        # ksi3 = the v2 packed layout (uint16 low keys + uint32
+        # positions, 6 B/kmer); older ksi2 dirs are simply not matched
+        cd = os.path.join(cdir, f"ksi3-{key}-k{k}")
         meta_p = os.path.join(cd, "meta.json")
         if cache and os.path.exists(meta_p) and \
                 os.path.getmtime(meta_p) >= os.path.getmtime(path):
@@ -104,25 +106,16 @@ class Aligner:
                             os.close(fd)
                     except (OSError, AttributeError):
                         pass
-                ptab_p = os.path.join(cd, "prefix.npy")
-                keys = np.load(os.path.join(cd, "keys.npy"), mmap_mode="r")
-                if os.path.exists(ptab_p):
-                    ptab = np.load(ptab_p, mmap_mode="r")
-                else:  # older cache dir: build + persist the bucket table
-                    ptab = KmerIndex.build_prefix_tab(keys, k)
-                    try:
-                        np.save(ptab_p, ptab)
-                    except OSError:
-                        pass
                 return cls(KmerIndex(
                     k,
                     np.load(os.path.join(cd, "ref.npy"), mmap_mode="r"),
                     list(meta["chrom_names"]),
                     np.asarray(meta["chrom_starts"], np.int64),
-                    keys,
+                    np.load(os.path.join(cd, "keys.npy"), mmap_mode="r"),
                     np.load(os.path.join(cd, "positions.npy"),
                             mmap_mode="r"),
-                    ptab))
+                    np.load(os.path.join(cd, "prefix.npy"),
+                            mmap_mode="r")))
             except Exception:
                 pass
         idx = KmerIndex.build(read_fasta(path), k=k)

@@ -185,7 +185,8 @@ def _load() -> Optional[ctypes.CDLL]:
                     p32 = ctypes.POINTER(ctypes.c_int32)
                     p64 = ctypes.POINTER(ctypes.c_int64)
                     lib.seeksv_seed_batch.argtypes = [
-                        ctypes.POINTER(ctypes.c_uint64), p64,
+                        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+                        ctypes.POINTER(ctypes.c_uint32),
                         ctypes.c_int64, p64, ctypes.c_int32,
                         ctypes.POINTER(ctypes.c_uint8), p64,
                         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
@@ -521,8 +522,18 @@ def seed_batch_native(idx, reads, max_occ: int, top: int,
     flat = np.empty(int(read_off[-1]), np.uint8)
     for i, r in enumerate(reads):
         flat[read_off[i]:read_off[i + 1]] = r
-    keys = np.ascontiguousarray(idx.keys, np.uint64)
-    positions = np.ascontiguousarray(idx.positions, np.int64)
+    # v2 packed table: low-bit keys (uint16/uint32) + uint32 positions;
+    # ascontiguousarray preserves the mmap'd arrays zero-copy when the
+    # dtype already matches
+    keys = np.ascontiguousarray(idx.keys)
+    if keys.dtype == np.uint16:
+        key_bytes = 2
+    elif keys.dtype == np.uint32:
+        key_bytes = 4
+    else:
+        raise TypeError(f"v2 index expects uint16/uint32 low keys, "
+                        f"got {keys.dtype}")
+    positions = np.ascontiguousarray(idx.positions, np.uint32)
     ptab = np.ascontiguousarray(idx.prefix_tab, np.int64)
     shift = idx._prefix_shift(idx.k)
     diag = np.zeros((n, top), np.int64)
@@ -534,8 +545,9 @@ def seed_batch_native(idx, reads, max_occ: int, top: int,
     p64 = ctypes.POINTER(ctypes.c_int64)
     if n:
         lib.seeksv_seed_batch(
-            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-            positions.ctypes.data_as(p64), len(keys),
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), key_bytes,
+            positions.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(keys),
             ptab.ctypes.data_as(p64), shift,
             flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             read_off.ctypes.data_as(p64), n, idx.k, max_occ, top,

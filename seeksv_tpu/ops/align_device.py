@@ -60,9 +60,9 @@ def device_align_auto_enabled() -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "hit_cap", "n_jobs", "nk", "LT"))
-def _seed_and_gather(keys, positions, ref, chrom_starts, mat, lens,
-                     ref_span, k: int, hit_cap: int, n_jobs: int, nk: int,
-                     LT: int):
+def _seed_and_gather(keys, prefix_tab, shift, positions, ref, chrom_starts,
+                     mat, lens, ref_span, k: int, hit_cap: int, n_jobs: int,
+                     nk: int, LT: int):
     """Seed all reads and gather the left/right extension windows for
     every (job, slot) candidate pair, entirely on device.
 
@@ -73,7 +73,8 @@ def _seed_and_gather(keys, positions, ref, chrom_starts, mat, lens,
     and the hit_cap overflow flag.
     """
     diag, qs, alen, _votes, n_cand, overflow = _seed_core(
-        keys, positions, mat, lens, ref_span, k, hit_cap, n_jobs, nk)
+        keys, prefix_tab, shift, positions, mat, lens, ref_span, k,
+        hit_cap, n_jobs, nk)
     C = TOP_CANDIDATES
     LP = mat.shape[1]
     N = n_jobs
@@ -221,8 +222,9 @@ class DeviceAligner:
             lens = jnp.asarray(lens_np)
             (lq, lql, lt, ltl, rq, rql, rt, rtl, h0, ref_anchor, q0,
              q_end0, ref_end0, jlen, tid, nc, ovf) = _seed_and_gather(
-                self.seeder.keys, self.seeder.positions, self.ref,
-                self.chrom_starts, mat, lens,
+                self.seeder.keys, self.seeder.prefix_tab,
+                jnp.int64(self.seeder.shift), self.seeder.positions,
+                self.ref, self.chrom_starts, mat, lens,
                 jnp.int64(self.seeder.ref_span),
                 k=self.idx.k, hit_cap=hit_cap, n_jobs=NP,
                 nk=LP - self.idx.k + 1, LT=LP + 128)

@@ -37,10 +37,35 @@ TOP_CANDIDATES = 8
 OFF_BITS = 11            # read offsets < 2048
 
 
-def _seed_core(keys, positions, mat, lens, ref_span,
+def _bounded_search_jax(keys, q, lo, hi, side: str):
+    """Vectorized binary search of q within per-element [lo, hi) bucket
+    bounds over the low-bit key array (the device form of
+    KmerIndex._bounded_search; iteration count = log2 of the largest
+    bucket)."""
+    cap = max(keys.shape[0] - 1, 0)
+
+    def cond(c):
+        lo, hi = c
+        return jnp.any(lo < hi)
+
+    def body(c):
+        lo, hi = c
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        kv = keys[jnp.minimum(mid, cap)].astype(q.dtype)
+        go = (kv < q) if side == "left" else (kv <= q)
+        return (jnp.where(active & go, mid + 1, lo),
+                jnp.where(active & ~go, mid, hi))
+
+    lo, _hi = jax.lax.while_loop(cond, body, (lo, hi))
+    return lo
+
+
+def _seed_core(keys, prefix_tab, shift, positions, mat, lens, ref_span,
                k: int, hit_cap: int, n_jobs: int, nk: int):
     """Seeding kernel body: also traced inline by the fused front-end
-    (ops.align_device._seed_and_gather)."""
+    (ops.align_device._seed_and_gather).  keys = low-bit residuals of
+    the v2 packed index; prefix_tab buckets the top bits."""
     N = n_jobs
     # ---- rolling hashes over all reads ----
     m64 = mat.astype(jnp.int64)
@@ -53,9 +78,13 @@ def _seed_core(keys, positions, mat, lens, ref_span,
     ok &= (jnp.arange(nk)[None, :] + k) <= lens[:, None]
     hflat = h.reshape(-1)
     okflat = ok.reshape(-1)
-    # ---- table lookup ----
-    lo = jnp.searchsorted(keys, hflat, side="left")
-    hi = jnp.searchsorted(keys, hflat, side="right")
+    # ---- two-level table lookup (prefix bucket + low-bit search) ----
+    p = hflat >> shift                     # clamps out-of-range (garbage
+    b_lo = prefix_tab[p]                   # hashes are masked by okflat)
+    b_hi = prefix_tab[jnp.minimum(p + 1, prefix_tab.shape[0] - 1)]
+    q_low = (hflat & ((jnp.int64(1) << shift) - 1)).astype(jnp.int64)
+    lo = _bounded_search_jax(keys, q_low, b_lo, b_hi, "left")
+    hi = _bounded_search_jax(keys, q_low, lo, b_hi, "right")
     cnt = hi - lo
     cnt = jnp.where(okflat & (cnt > 0) & (cnt <= MAX_OCC), cnt, 0)
     # ---- capped ragged expansion ----
@@ -164,13 +193,18 @@ class DeviceSeeder:
     def __init__(self, idx, device=None):
         self.k = idx.k
         self.ref_span = int(idx.chrom_starts[-1])
+        self.shift = idx._prefix_shift(idx.k)
         with jax.enable_x64(True):
-            keys = jnp.asarray(idx.keys.astype(np.int64))
-            pos = jnp.asarray(idx.positions)
+            # v2 packed table: low-bit residuals (uint16 -> int64 widen
+            # happens per-gather, not in HBM) + int64 bucket table
+            keys = jnp.asarray(idx.keys)
+            ptab = jnp.asarray(np.asarray(idx.prefix_tab, np.int64))
+            pos = jnp.asarray(idx.positions.astype(np.int64))
             if device is not None:
                 keys = jax.device_put(keys, device)
+                ptab = jax.device_put(ptab, device)
                 pos = jax.device_put(pos, device)
-            self.keys, self.positions = keys, pos
+            self.keys, self.prefix_tab, self.positions = keys, ptab, pos
 
     def seed(self, reads, hit_cap: int = 1 << 18):
         """reads: list of encoded uint8 code arrays.  Returns the same
@@ -184,7 +218,8 @@ class DeviceSeeder:
         mat, lens, NP, LP = padded
         with jax.enable_x64(True):
             d, qs, al, vo, nc, ovf = _seed_kernel(
-                self.keys, self.positions, jnp.asarray(mat),
+                self.keys, self.prefix_tab, jnp.int64(self.shift),
+                self.positions, jnp.asarray(mat),
                 jnp.asarray(lens), jnp.int64(self.ref_span),
                 k=self.k, hit_cap=hit_cap, n_jobs=NP, nk=LP - self.k + 1)
             if bool(ovf):
