@@ -1326,15 +1326,153 @@ void seeksv_sw_extend_batch(const int32_t* q, const int32_t* qlen,
 }
 
 // Global affine alignment with traceback, reproducing
+// Banded global DP (one rung of the ladder in seeksv_sw_global below):
+// path constraint j - i in [dlo, dhi] with dlo = min(0, n-m) - w,
+// dhi = max(0, n-m) + w; banded addressing col = j - i - dlo keeps the
+// diagonal move in the SAME column (vertical: col+1, horizontal: col-1).
+// Returns the cigar run count and fills *score_out; traceback uses the
+// identical preference order to the full-DP form.
+static int64_t sw_global_banded(const int32_t* query, int64_t m,
+                                const int32_t* target, int64_t n,
+                                int64_t w, int32_t* score_out,
+                                int32_t* cig_len, uint8_t* cig_op) {
+  const int64_t dlo = (n < m ? n - m : 0) - w;
+  const int64_t dhi = (n > m ? n - m : 0) + w;
+  const int64_t K = dhi - dlo + 1;
+  std::vector<int32_t> H((m + 1) * K, kNegInf), E((m + 1) * K, kNegInf),
+      F((m + 1) * K, kNegInf);
+  auto idx = [&](int64_t i, int64_t j) { return i * K + (j - i - dlo); };
+  auto inb = [&](int64_t i, int64_t j) {
+    return j >= 0 && j <= n && j - i >= dlo && j - i <= dhi;
+  };
+  H[idx(0, 0)] = 0;
+  for (int64_t j = 1; j <= n && j <= dhi; j++)
+    H[idx(0, j)] = E[idx(0, j)] = (int32_t)(-kGapOpen - j * kGapExt);
+  for (int64_t i = 1; i <= m; i++) {
+    const int64_t jlo = (i + dlo > 1) ? i + dlo : 1;
+    const int64_t jhi = (i + dhi < n) ? i + dhi : n;
+    const int32_t qi = query[i - 1];
+    int64_t m2 = kNegInf;  // max over in-band k<j of H[i][k] + k*ext
+    if (i + dlo <= 0) {    // boundary column j=0 inside the band
+      const int32_t b = (int32_t)(-kGapOpen - i * kGapExt);
+      H[idx(i, 0)] = F[idx(i, 0)] = b;
+      m2 = b;  // + 0*ext
+    }
+    for (int64_t j = jlo; j <= jhi; j++) {
+      const int32_t hprev = inb(i - 1, j) ? H[idx(i - 1, j)] : kNegInf;
+      const int32_t fprev = inb(i - 1, j) ? F[idx(i - 1, j)] : kNegInf;
+      const int32_t f =
+          (hprev - kGapOpen > fprev ? hprev - kGapOpen : fprev) - kGapExt;
+      F[idx(i, j)] = f;
+      const int32_t dprev =
+          inb(i - 1, j - 1) ? H[idx(i - 1, j - 1)] : kNegInf;
+      const int32_t diag = dprev + sub_score(qi, target[j - 1]);
+      const int32_t g = diag > f ? diag : f;
+      const int32_t ev = (int32_t)(m2 - kGapOpen - j * kGapExt);
+      E[idx(i, j)] = ev;
+      H[idx(i, j)] = g > ev ? g : ev;
+      const int64_t u = (int64_t)g + j * kGapExt;
+      if (u > m2) m2 = u;
+    }
+  }
+  if (!inb(m, n)) return -1;
+  *score_out = H[idx(m, n)];
+  int64_t i = m, j = n, nc = 0;
+  auto push = [&](uint8_t op) {
+    if (nc > 0 && cig_op[nc - 1] == op) {
+      cig_len[nc - 1]++;
+    } else {
+      cig_op[nc] = op;
+      cig_len[nc] = 1;
+      nc++;
+    }
+  };
+  while (i > 0 || j > 0) {
+    const int32_t h = inb(i, j) ? H[idx(i, j)] : kNegInf;
+    if (i > 0 && j > 0 && inb(i - 1, j - 1) &&
+        h == H[idx(i - 1, j - 1)] + sub_score(query[i - 1], target[j - 1])) {
+      push('M');
+      i--;
+      j--;
+    } else if (j > 0 && inb(i, j) && h == E[idx(i, j)]) {
+      push('D');
+      while (j > 1 && inb(i, j - 1) &&
+             E[idx(i, j)] == E[idx(i, j - 1)] - kGapExt) {
+        push('D');
+        j--;
+      }
+      j--;
+    } else if (i > 0 && inb(i, j) && h == F[idx(i, j)]) {
+      push('I');
+      while (i > 1 && inb(i - 1, j) &&
+             F[idx(i, j)] == F[idx(i - 1, j)] - kGapExt) {
+        push('I');
+        i--;
+      }
+      i--;
+    } else if (i > 0 && j > 0) {
+      push('M');
+      i--;
+      j--;
+    } else if (j > 0) {
+      push('D');
+      j--;
+    } else {
+      push('I');
+      i--;
+    }
+  }
+  for (int64_t a = 0, b = nc - 1; a < b; a++, b--) {
+    std::swap(cig_len[a], cig_len[b]);
+    std::swap(cig_op[a], cig_op[b]);
+  }
+  return nc;
+}
+
 // seeksv_tpu/align/sw.py:global_align (ksw_global role: CIGAR emission on
 // the chosen extents only).  cig_len/cig_op must have capacity m+n; the
 // return value is the number of runs emitted (cigar already merged and in
 // left-to-right order), and *score_out the terminal score H[m][n].
 // m>0 and n>0 are required (degenerate cases stay in the python wrapper).
+//
+// Long pairs (min(m, n) > 256 — only the long-fragment regime; every
+// sound-regime fragment keeps the bit-identical full DP) run a banded
+// LADDER: rungs w = 16, 64, 256; the first adjacent rung pair with equal
+// score accepts the smaller rung's traceback, else full DP.  The ladder
+// is the committed spec, implemented identically by the python oracle
+// (align/sw.py global_align_np) — at long-fragment divergence the first
+// rung is optimal and the finalize stage drops ~8x in cells.
 int64_t seeksv_sw_global(const int32_t* query, int64_t m,
                          const int32_t* target, int64_t n,
                          int32_t* score_out, int32_t* cig_len,
                          uint8_t* cig_op) {
+  if ((m > 256 && n > 256)) {
+    static const int64_t rungs[3] = {16, 64, 256};
+    std::vector<int32_t> plen(m + n);
+    std::vector<uint8_t> pop(m + n);
+    int32_t psc = 0;
+    int64_t pnc = -1;
+    for (int r = 0; r < 3; r++) {
+      int32_t sc = 0;
+      int64_t nc = (r == 0)
+          ? (pnc = sw_global_banded(query, m, target, n, rungs[0], &psc,
+                                    plen.data(), pop.data()))
+          : sw_global_banded(query, m, target, n, rungs[r], &sc,
+                             cig_len, cig_op);
+      if (r == 0) continue;
+      if (pnc >= 0 && nc >= 0 && sc == psc) {
+        // stabilized: emit the SMALLER rung's traceback
+        std::copy(plen.begin(), plen.begin() + pnc, cig_len);
+        std::copy(pop.begin(), pop.begin() + pnc, cig_op);
+        *score_out = psc;
+        return pnc;
+      }
+      psc = sc;
+      pnc = nc;
+      std::copy(cig_len, cig_len + (nc > 0 ? nc : 0), plen.begin());
+      std::copy(cig_op, cig_op + (nc > 0 ? nc : 0), pop.begin());
+    }
+  }
   const int64_t W = n + 1;
   std::vector<int32_t> H((m + 1) * W), E((m + 1) * W), F((m + 1) * W);
   H[0] = 0;

@@ -268,6 +268,9 @@ def main():
     ap.add_argument("--virus-divergence", type=float, default=0.04,
                     help="strain divergence between the integrated virus "
                          "segments and the reference virus contig")
+    ap.add_argument("--probe-retries", type=int, default=10,
+                    help="accelerator responsiveness probe retries "
+                         "(60s apart) before aborting a non---cpu-jax run")
     ap.add_argument("--expect-ref-defect", action="store_true",
                     help="long-fragment regime (clip consensi >254bp): "
                          "the v1.2.0 oracle desyncs on qname truncation; "
@@ -287,6 +290,32 @@ def main():
     if args.cpu_jax:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # the tunneled backend can wedge mid-session (bench.py's
+        # _ensure_responsive_backend); probe it in a SUBPROCESS before
+        # this process imports jax, retrying for a while — a device-run
+        # artifact is useless pinned to cpu, so don't fall back silently
+        import subprocess
+        for attempt in range(args.probe_retries + 1):
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "import numpy, jax, jax.numpy as jnp;"
+                     "x = jnp.asarray(numpy.ones((1024, 1024),"
+                     " numpy.float32)); numpy.asarray(x @ x)"],
+                    timeout=60, capture_output=True)
+                if r.returncode == 0:
+                    break
+            except subprocess.TimeoutExpired:
+                pass
+            if attempt == args.probe_retries:
+                print("# accelerator probe failed repeatedly; aborting "
+                      "(rerun with --cpu-jax for a host-path run)",
+                      file=sys.stderr)
+                sys.exit(2)
+            print(f"# accelerator probe failed (attempt {attempt + 1}); "
+                  "retrying in 60s", file=sys.stderr)
+            time.sleep(60)
     G = int(args.genome_mb * 1e6)
     vtag = (f"-v{args.virus_kb}x{args.virus_events}"
             f"d{args.virus_divergence}" if args.virus_kb else "")

@@ -29,9 +29,16 @@ def main():
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--events", type=int, default=3000)
     ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--sweep", default=None,
+                    help="comma list of mesh sizes to run in one process "
+                         "(e.g. 1,2,4,8; the virtual device count is the "
+                         "max); sequential baseline measured once")
     ap.add_argument("--chunk-records", type=int, default=2_000_000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    sweep = ([int(x) for x in args.sweep.split(",")] if args.sweep
+             else [args.devices])
+    args.devices = max(sweep)
 
     # a sitecustomize pre-imports jax pinned to the tunneled chip;
     # backend creation is lazy, so switching platform + forcing host
@@ -59,54 +66,58 @@ def main():
     bam = os.path.join(root, "sim.bam")
     fa = os.path.join(root, "ref.fa")
 
-    devs = np.array(jax.devices()[:args.devices])
-    if args.devices % 2 == 0 and args.devices > 1:
-        mesh = Mesh(devs.reshape(args.devices // 2, 2), ("dp", "gp"))
-    else:
-        mesh = Mesh(devs.reshape(args.devices, 1), ("dp", "gp"))
-
     with tempfile.TemporaryDirectory() as d:
         t0 = time.time()
         seq_prefix = os.path.join(d, "seq")
         run_pipeline_streaming(fa, bam, seq_prefix,
                                chunk_records=args.chunk_records)
         t_seq = time.time() - t0
-
-        t0 = time.time()
-        spmd_prefix = os.path.join(d, "spmd")
-        stages = {}
-        spmd_run_pipeline_streaming(
-            mesh, fa, bam, spmd_prefix, chunk_records=args.chunk_records,
-            log=lambda *a: print("#", *a, file=sys.stderr, flush=True))
-        t_spmd = time.time() - t0
-
-        ours = sv_rows(spmd_prefix + ".sv")
         want = sv_rows(seq_prefix + ".sv")
-        parity = "exact" if ours == want else "MISMATCH"
-        n = sum(1 for _ in want)
 
-    peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-    result = {
-        "metric": "stream_spmd_scale_run",
-        "genome_mb": args.genome_mb, "coverage": args.coverage,
-        "devices": args.devices, "mesh": dict(
-            zip(mesh.axis_names, mesh.devices.shape)),
-        "chunk_records": args.chunk_records,
-        "sv_parity_vs_sequential_stream": parity,
-        "sv_rows": len(want),
-        "sequential_stream_s": round(t_seq, 1),
-        "spmd_stream_s": round(t_spmd, 1),
-        "peak_rss_mb": round(peak_rss_mb, 1),
-        "jax_platform": jax.devices()[0].platform,
-        "note": ("virtual CPU mesh: validates composition memory bound + "
-                 "exactness, not chip throughput"),
-    }
-    line = json.dumps(result)
-    print(line)
-    if args.out:
-        with open(args.out, "a") as f:
-            f.write(line + "\n")
-    if parity != "exact":
+        all_exact = True
+        for nd in sweep:
+            devs = np.array(jax.devices()[:nd])
+            if nd % 2 == 0 and nd > 1:
+                mesh = Mesh(devs.reshape(nd // 2, 2), ("dp", "gp"))
+            else:
+                mesh = Mesh(devs.reshape(nd, 1), ("dp", "gp"))
+            t0 = time.time()
+            spmd_prefix = os.path.join(d, f"spmd{nd}")
+            stages = {}
+            spmd_run_pipeline_streaming(
+                mesh, fa, bam, spmd_prefix,
+                chunk_records=args.chunk_records, stages_out=stages,
+                log=lambda *a: print("#", *a, file=sys.stderr, flush=True))
+            t_spmd = time.time() - t0
+
+            ours = sv_rows(spmd_prefix + ".sv")
+            parity = "exact" if ours == want else "MISMATCH"
+            all_exact &= parity == "exact"
+            peak_rss_mb = resource.getrusage(
+                resource.RUSAGE_SELF).ru_maxrss / 1024
+            result = {
+                "metric": "stream_spmd_scale_run",
+                "genome_mb": args.genome_mb, "coverage": args.coverage,
+                "devices": nd, "mesh": dict(
+                    zip(mesh.axis_names, mesh.devices.shape)),
+                "chunk_records": args.chunk_records,
+                "sv_parity_vs_sequential_stream": parity,
+                "sv_rows": len(want),
+                "sequential_stream_s": round(t_seq, 1),
+                "spmd_stream_s": round(t_spmd, 1),
+                "speedup_vs_sequential": round(t_seq / t_spmd, 3),
+                "spmd_stages_s": stages,
+                "peak_rss_mb": round(peak_rss_mb, 1),
+                "jax_platform": jax.devices()[0].platform,
+                "note": ("virtual CPU mesh: validates composition memory "
+                         "bound + exactness, not chip throughput"),
+            }
+            line = json.dumps(result)
+            print(line, flush=True)
+            if args.out:
+                with open(args.out, "a") as f:
+                    f.write(line + "\n")
+    if not all_exact:
         sys.exit(1)
 
 

@@ -185,9 +185,119 @@ def global_align(query: np.ndarray, target: np.ndarray,
     return global_align_np(query, target, w)
 
 
+def _global_banded_np(query: np.ndarray, target: np.ndarray,
+                      w: int) -> Tuple[int, List[Tuple[int, str]]]:
+    """One banded rung (path constraint j-i in [dlo, dhi]); exact mirror
+    of csrc sw_global_banded — banded addressing col = j-i-dlo keeps the
+    diagonal move in the same column."""
+    m, n = len(query), len(target)
+    dlo = min(0, n - m) - w
+    dhi = max(0, n - m) + w
+    K = dhi - dlo + 1
+    H = np.full((m + 1, K), NEG_INF, np.int64)
+    E = np.full((m + 1, K), NEG_INF, np.int64)
+    F = np.full((m + 1, K), NEG_INF, np.int64)
+    H[0, -dlo] = 0
+    jtop = min(n, dhi)
+    if jtop >= 1:
+        j0 = np.arange(1, jtop + 1, dtype=np.int64)
+        H[0, j0 - dlo] = E[0, j0 - dlo] = -GAP_OPEN - j0 * GAP_EXT
+    tarr = target.astype(np.int64)
+    t_ambig = tarr > 3
+    for i in range(1, m + 1):
+        jlo = max(1, i + dlo)
+        jhi = min(n, i + dhi)
+        m2 = NEG_INF
+        if i + dlo <= 0:   # boundary column j=0 inside the band
+            b = -GAP_OPEN - i * GAP_EXT
+            H[i, -i - dlo] = b
+            F[i, -i - dlo] = b
+            m2 = b
+        if jlo > jhi:
+            continue
+        js = np.arange(jlo, jhi + 1, dtype=np.int64)
+        cols = js - i - dlo
+        qi = int(query[i - 1])
+        if qi > 3:
+            sub = np.full(len(js), AMBIG, np.int64)
+        else:
+            tj = tarr[js - 1]
+            sub = np.where(t_ambig[js - 1], AMBIG,
+                           np.where(tj == qi, MATCH, -MISMATCH))
+        hp = np.full(len(js), NEG_INF, np.int64)
+        fp = np.full(len(js), NEG_INF, np.int64)
+        up_ok = cols + 1 <= K - 1     # (i-1, j) in band
+        hp[up_ok] = H[i - 1, cols[up_ok] + 1]
+        fp[up_ok] = F[i - 1, cols[up_ok] + 1]
+        Frow = np.maximum(hp - GAP_OPEN, fp) - GAP_EXT
+        dg = H[i - 1, cols] + sub     # (i-1, j-1): same column
+        g = np.maximum(dg, Frow)
+        u = g + js * GAP_EXT
+        pref = np.maximum.accumulate(
+            np.concatenate(([np.int64(m2)], u[:-1])))
+        Erow = pref - GAP_OPEN - js * GAP_EXT
+        E[i, cols] = Erow
+        F[i, cols] = Frow
+        H[i, cols] = np.maximum(g, Erow)
+
+    def hv(i, j, M):
+        d = j - i
+        if j < 0 or j > n or d < dlo or d > dhi:
+            return NEG_INF
+        return int(M[i, j - i - dlo])
+
+    score = hv(m, n, H)
+    cig: List[Tuple[int, str]] = []
+    i, j = m, n
+
+    def push(op):
+        if cig and cig[-1][1] == op:
+            cig[-1] = (cig[-1][0] + 1, op)
+        else:
+            cig.append((1, op))
+
+    while i > 0 or j > 0:
+        h = hv(i, j, H)
+        if i > 0 and j > 0 and h == hv(i - 1, j - 1, H) + _score(
+                int(query[i - 1]), int(target[j - 1])):
+            push("M")
+            i -= 1
+            j -= 1
+        elif j > 0 and h == hv(i, j, E):
+            push("D")
+            while j > 1 and hv(i, j, E) == hv(i, j - 1, E) - GAP_EXT:
+                push("D")
+                j -= 1
+            j -= 1
+        elif i > 0 and h == hv(i, j, F):
+            push("I")
+            while i > 1 and hv(i, j, F) == hv(i - 1, j, F) - GAP_EXT:
+                push("I")
+                i -= 1
+            i -= 1
+        elif i > 0 and j > 0:
+            push("M")
+            i -= 1
+            j -= 1
+        elif j > 0:
+            push("D")
+            j -= 1
+        else:
+            push("I")
+            i -= 1
+    cig.reverse()
+    return score, cig
+
+
 def global_align_np(query: np.ndarray, target: np.ndarray,
                     w: int = 100) -> Tuple[int, List[Tuple[int, str]]]:
-    """Pure-numpy reference implementation of global_align."""
+    """Pure-numpy reference implementation of global_align.
+
+    Long pairs (min(m, n) > 256 — only the long-fragment regime) run the
+    banded LADDER spec (rungs 16/64/256: first adjacent pair with equal
+    score emits the smaller rung's traceback, else full DP) — identical
+    to csrc seeksv_sw_global; equivalence asserted by
+    tests/test_native.py."""
     m, n = len(query), len(target)
     if m == 0 and n == 0:
         return 0, []
@@ -195,6 +305,13 @@ def global_align_np(query: np.ndarray, target: np.ndarray,
         return -GAP_OPEN - n * GAP_EXT, [(n, "D")]
     if n == 0:
         return -GAP_OPEN - m * GAP_EXT, [(m, "I")]
+    if m > 256 and n > 256:
+        prev = _global_banded_np(query, target, 16)
+        for rung in (64, 256):
+            cur = _global_banded_np(query, target, rung)
+            if cur[0] == prev[0]:
+                return prev
+            prev = cur
     H = np.full((m + 1, n + 1), NEG_INF, np.int64)
     E = np.full((m + 1, n + 1), NEG_INF, np.int64)  # gap in query (D: target consumed)
     F = np.full((m + 1, n + 1), NEG_INF, np.int64)  # gap in target (I: query consumed)

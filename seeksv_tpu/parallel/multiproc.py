@@ -271,3 +271,71 @@ def _empty_records(ref_names, ref_lens) -> BamRecords:
               cig_off=np.zeros(1, np.int64), seq=np.zeros(0, np.uint8),
               qual=np.zeros(0, np.uint8), seq_off=np.zeros(1, np.int64),
               xc=np.zeros(0, np.int32))
+
+
+def multiprocess_somatic(mesh, normal_bam: str, tumor_sv: str,
+                         out_temp: str, out_final: str, prefix: str, *,
+                         min_mapq: int = 20,
+                         read_pair_used: int = 5_000_000,
+                         chunk_records: int = 500_000,
+                         log=lambda *a: None) -> Optional[str]:
+    """Distributed tumor/normal subtraction (VERDICT r3 #6): the normal
+    BAM is host-sharded exactly like the tumor ingest, each process runs
+    getclip on its own normal range and evaluates every tumor sv row
+    against its LOCAL clip maps + records, and the per-row
+    (nleft, nright, nab) triples are summed across processes — each
+    lookup finds nonzero support only on the process owning that
+    normal-range position (clip-map probes are single-chromosome
+    windows; the discordant window lies inside the up-chromosome,
+    getsv.cpp:1032-1040), so the sum equals the sequential pass
+    (ref: somatic.cpp:14-427; asserted byte-equal by
+    tests/test_multihost.py).  The tumor sv file must be readable by
+    every process (shared filesystem or pre-broadcast).
+
+    Returns the final somatic path on process 0, None elsewhere."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from ..pipeline.getclip import GetclipStream
+    from ..pipeline.somatic import somatic, somatic_filter
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+
+    local = ingest_local(normal_bam, pid, nproc, chunk_records)
+    part = f"{prefix}.normal.p{pid}"
+    gs = GetclipStream(part)
+    if local is not None:
+        gs.process(local)
+    gs.close()
+    log(f"[p{pid}] normal getclip done "
+        f"({local.n if local else 0} records)")
+
+    if local is None:
+        if pid == nproc - 1:
+            raise RuntimeError("last process must at least see the header")
+        for c in read_bam_chunks(normal_bam, 1):
+            local = _empty_records(c.ref_names, list(c.ref_lens))
+            break
+    # global first-N insert stats across processes (file order)
+    _cov, mean, dev = multiprocess_coverage_insert(mesh, local, min_mapq,
+                                                   read_pair_used)
+    log(f"[p{pid}] normal insert: mean={mean} dev={dev}")
+
+    triples: list = []
+    somatic(normal_bam, f"{part}.clip.gz", tumor_sv, None,
+            recs=local, mean_dev=(mean, dev),
+            read_pair_used=read_pair_used, collect_triples=triples)
+    arr = np.asarray(triples, np.int64).reshape(-1, 3) if triples \
+        else np.zeros((0, 3), np.int64)
+    total = np.asarray(
+        multihost_utils.process_allgather(arr)).sum(axis=0)
+    log(f"[p{pid}] somatic triples combined ({arr.shape[0]} rows)")
+
+    if pid != 0:
+        return None
+    somatic(normal_bam, None, tumor_sv, out_temp,
+            use_triples=total, read_pair_used=read_pair_used)
+    somatic_filter(out_temp, out_final)
+    log(f"[p0] wrote {out_final}")
+    return out_final

@@ -338,42 +338,29 @@ def _decode_event(enc: _EncodedEvents, i: int, id2name):
     return j, up, down
 
 
-def spmd_build_junctions(mesh, clipfile: str, samfile: str,
-                         skip_min_mapq: int = 0,
-                         rescue: bool = False):
-    """Junction-table construction with the event tables crossing the
-    mesh: clip groups are split contiguously across shards, each shard
-    generates its (pure, order-preserving) junction events
-    (getsv.junction_event), the encoded 6-tuple+payload tables are
-    all-gathered with jax.lax.all_gather, and the gathered stream is
-    replayed in original order through the ordered-multimap accumulation
-    (insert_junction_event).  Exact vs the sequential input_soft_info by
-    construction; asserted by tests/test_spmd_pipeline.py."""
+def _gather_window(mesh, jmap, groups, rescue, rescue_events):
+    """One window of clip groups through the mesh: shard contiguously,
+    generate events, encode, all-gather, replay in original order."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    groups = list(iter_soft_groups(clipfile, samfile, skip_min_mapq))
     ndev = mesh.size
-    # contiguous group shards preserve order under all-gather
-    rescue_events: list = []
     per_shard_events: List[list] = [[] for _ in range(ndev)]
-    if groups:
-        bounds = np.linspace(0, len(groups), ndev + 1).astype(int)
-        for s in range(ndev):
-            for ari, orient, cais in groups[bounds[s]:bounds[s + 1]]:
-                for cai in cais:
-                    ev = junction_event(ari, orient, cai, rescue)
-                    if ev is None:
-                        continue
-                    if ev[0] == "rescue":
-                        rescue_events.append((ev[1], ev[2]))
-                    else:
-                        per_shard_events[s].append(ev[1:])
+    bounds = np.linspace(0, len(groups), ndev + 1).astype(int)
+    for s in range(ndev):
+        for ari, orient, cais in groups[bounds[s]:bounds[s + 1]]:
+            for cai in cais:
+                ev = junction_event(ari, orient, cai, rescue)
+                if ev is None:
+                    continue
+                if ev[0] == "rescue":
+                    rescue_events.append((ev[1], ev[2]))
+                else:
+                    per_shard_events[s].append(ev[1:])
 
-    jmap = JunctionMap()
     n_events = sum(len(e) for e in per_shard_events)
     if n_events == 0:
-        return jmap, rescue_events
+        return
 
     all_ev = [e for s in per_shard_events for e in s]
     names = []
@@ -384,9 +371,19 @@ def spmd_build_junctions(mesh, clipfile: str, samfile: str,
                 seen.add(nm)
                 names.append(nm)
     name2id = {n: i for i, n in enumerate(names)}
-    E = max(len(e) for e in per_shard_events)
-    LS = max(max(len(u.seq), len(d.seq)) for (_j, u, d) in all_ev)
-    C = max(max(len(u.cigar), len(d.cigar), 1) for (_j, u, d) in all_ev)
+
+    def _pow2(n):
+        b = 8
+        while b < n:
+            b <<= 1
+        return b
+
+    # pow2 pads bound the jit cache across windows (windowed ingestion
+    # would otherwise recompile the gather per window shape)
+    E = _pow2(max(len(e) for e in per_shard_events))
+    LS = _pow2(max(max(len(u.seq), len(d.seq)) for (_j, u, d) in all_ev))
+    C = _pow2(max(max(len(u.cigar), len(d.cigar), 1)
+                  for (_j, u, d) in all_ev))
     encs = [_encode_events(ev, name2id, E, LS, C)
             for ev in per_shard_events]
 
@@ -420,6 +417,35 @@ def spmd_build_junctions(mesh, clipfile: str, samfile: str,
         if genc.valid[i]:
             j, up, down = _decode_event(genc, i, id2name)
             insert_junction_event(jmap, j, up, down)
+
+
+def spmd_build_junctions(mesh, clipfile: str, samfile: str,
+                         skip_min_mapq: int = 0,
+                         rescue: bool = False,
+                         window_groups: int = 4096):
+    """Junction-table construction with the event tables crossing the
+    mesh: clip groups are split contiguously across shards, each shard
+    generates its (pure, order-preserving) junction events
+    (getsv.junction_event), the encoded 6-tuple+payload tables are
+    all-gathered with jax.lax.all_gather, and the gathered stream is
+    replayed in original order through the ordered-multimap accumulation
+    (insert_junction_event).  Exact vs the sequential input_soft_info by
+    construction; asserted by tests/test_spmd_pipeline.py.
+
+    Groups stream through in windows of `window_groups` (VERDICT r3 #7:
+    the getsv phase must not materialize the whole clip table as Python
+    objects — the live set is one window; windows replay in clip.gz
+    order so the multimap accumulation is identical to one big pass)."""
+    jmap = JunctionMap()
+    rescue_events: list = []
+    window: list = []
+    for g in iter_soft_groups(clipfile, samfile, skip_min_mapq):
+        window.append(g)
+        if len(window) >= window_groups:
+            _gather_window(mesh, jmap, window, rescue, rescue_events)
+            window = []
+    if window:
+        _gather_window(mesh, jmap, window, rescue, rescue_events)
     return jmap, rescue_events
 
 

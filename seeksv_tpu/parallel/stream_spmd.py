@@ -55,7 +55,17 @@ class _SideSink:
 class SpmdGetclipStream:
     """Slab-incremental getclip with the consensus merge on the mesh.
     process(slab) in file order == the whole-file spmd_getclip pass
-    (same flush/drop quirks as pipeline.getclip.GetclipStream)."""
+    (same flush/drop quirks as pipeline.getclip.GetclipStream).
+
+    NOTE (r4): this mesh-consensus form is kept for environments that
+    want the merge on devices (and for its tests), but the default
+    streaming-SPMD pipeline no longer uses it: the consensus merge is
+    byte-wrangling (ragged string slices, order-sensitive greedy
+    first-match), which the TPU-native design keeps on the host's
+    native kernels next to the decoder, spending the mesh on the
+    numeric stages instead (coverage scatter, insert histogram,
+    discordant windows, merge gates, extension).  See
+    spmd_run_pipeline_streaming(mesh_consensus=...)."""
 
     def __init__(self, mesh, prefix: str, threshold: float = 0.85,
                  min_mapq: int = 20, save_low_quality: bool = False):
@@ -167,11 +177,15 @@ def _pow2_bucket(n: int, floor: int = 1 << 14) -> int:
 class SpmdStreamStats:
     """Mesh-resident streaming statistics (see module docstring).
 
-    The coverage accumulator is a [ndev, g_pad] int32 array sharded over
-    every mesh device on dim 0 — each device owns one per-shard diff
-    array; slabs scatter-add into it through a donated jit (no
-    collectives per slab); finalize() runs the single cross-shard
-    reduction + prefix sum."""
+    Coverage accumulates as a GENOME-SHARDED diff array: each device
+    owns one contiguous 1/ndev slice of the concatenated genome (plus a
+    one-slot spill cell), and every slab's segment endpoints become ±1
+    point-updates routed to their owner shard ON HOST (one searchsorted
+    + stable argsort), so each device scatters only into its local
+    slice — no collectives per slab, no replicated genome copies (the
+    r3 form held ndev full-genome diff arrays: 8x the memory and 8x the
+    finalize reduction).  finalize() gathers the shards and runs the
+    native prefix sum."""
 
     def __init__(self, mesh, min_mapq: int, read_pair_used: int):
         self.mesh = mesh
@@ -180,9 +194,10 @@ class SpmdStreamStats:
         self.ref_names: List[str] = []
         self.ref_lens: List[int] = []
         self.n = 0
-        self._acc = None          # device [ndev, g_pad] int32
+        self._acc = None          # device [ndev * (g_local+1)] int32
         self._offsets = None
         self._g_pad = 0
+        self._g_local = 0         # genome slice per device (w/o spill)
         self._hist = np.zeros(HIST_SIZE, np.int64)
         self._base = 0            # qualifying records seen so far (first-N)
         self._cols = _GrowCols(("pos", "mpos", "mtid", "l_qseq", "flag",
@@ -201,22 +216,17 @@ class SpmdStreamStats:
 
         mesh = self.mesh
         axes = tuple(mesh.axis_names)
-        ndev = mesh.size
-        g_pad = self._g_pad
-        acc_sharding = NamedSharding(mesh, P(axes, None))
+        g_local = self._g_local
+        acc_sharding = NamedSharding(mesh, P(axes))
         seg_sharding = NamedSharding(mesh, P(axes))
 
-        def update(acc, st, en):
-            def body(a, s, e):
-                a = a[0]
-                a = a.at[jnp.clip(s, 0, g_pad)].add(
-                    (s < g_pad).astype(jnp.int32))
-                a = a.at[jnp.clip(e, 0, g_pad)].add(
-                    -(e < g_pad).astype(jnp.int32))
-                return a[None]
+        def update(acc, idx, val):
+            # idx is shard-local (host pre-routed); g_local = spill slot
+            def body(a, i, v):
+                return a.at[jnp.clip(i, 0, g_local)].add(v)
             return jax.shard_map(
-                body, mesh=mesh, in_specs=(P(axes, None), P(axes), P(axes)),
-                out_specs=P(axes, None), check_vma=False)(acc, st, en)
+                body, mesh=mesh, in_specs=(P(axes), P(axes), P(axes)),
+                out_specs=P(axes), check_vma=False)(acc, idx, val)
 
         self._update = jax.jit(update, donate_argnums=0)
 
@@ -242,30 +252,43 @@ class SpmdStreamStats:
         self.ref_names = recs.ref_names
         self.ref_lens = list(recs.ref_lens)
         self.n += recs.n
+        ndev = self.mesh.size
         if self._acc is None:
             lens = np.asarray(recs.ref_lens, np.int64)
             self._offsets = np.concatenate([[0], np.cumsum(lens)])
             self._g_pad = int(self._offsets[-1])
+            self._g_local = -(-self._g_pad // ndev)
             self._build_fns()
-            ndev = self.mesh.size
             self._acc = jax.device_put(
-                np.zeros((ndev, self._g_pad + 1), np.int32),
+                np.zeros(ndev * (self._g_local + 1), np.int32),
                 self._acc_sharding)
 
-        # coverage segments -> device scatter-add (padded to pow2 buckets
+        # coverage segments -> ±1 point updates routed to their owner
+        # shard on host, local scatter on device (padded to pow2 buckets
         # so the donated jit compiles a handful of shapes, not per slab)
         st, en = _flat_segments(recs, self.min_mapq, self._offsets,
                                 self._g_pad)
-        ndev = self.mesh.size
-        S = len(st)
-        Sp = -(-_pow2_bucket(max(S, 1)) // ndev) * ndev
-        stp = np.full(Sp, self._g_pad + 1, np.int64)  # pad: out of range
-        enp = np.full(Sp, self._g_pad + 1, np.int64)
-        stp[:S] = st
-        enp[:S] = en
+        pts = np.concatenate([st, en])
+        val = np.empty(2 * len(st), np.int32)
+        val[:len(st)] = 1
+        val[len(st):] = -1
+        inb = pts < self._g_pad
+        pts, val = pts[inb], val[inb]
+        shard = pts // self._g_local
+        order = np.argsort(shard, kind="stable")
+        pts, val, shard = pts[order], val[order], shard[order]
+        cnt = np.bincount(shard, minlength=ndev)
+        K = _pow2_bucket(int(cnt.max(initial=1)))
+        idxp = np.full(ndev * K, self._g_local, np.int32)  # pad: spill slot
+        valp = np.zeros(ndev * K, np.int32)
+        dst = np.repeat(np.arange(ndev, dtype=np.int64) * K, cnt) + \
+            (np.arange(len(pts)) -
+             np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt))
+        idxp[dst] = (pts - shard * self._g_local).astype(np.int32)
+        valp[dst] = val
         self._acc = self._update(
-            self._acc, jax.device_put(stp, self._seg_sharding),
-            jax.device_put(enp, self._seg_sharding))
+            self._acc, jax.device_put(idxp, self._seg_sharding),
+            jax.device_put(valp, self._seg_sharding))
 
         # insert-size histogram with the running cross-slab first-N offset
         if self._base < self.read_pair_used:
@@ -297,17 +320,16 @@ class SpmdStreamStats:
 
     # ---- finalize --------------------------------------------------------
     def coverage(self) -> Dict[int, np.ndarray]:
-        """One cross-shard reduction + prefix sum of the device-resident
-        accumulator -> per-tid depth arrays."""
-        import jax.numpy as jnp
-        import jax
-
+        """Gather the genome-sharded diff accumulator (drop each shard's
+        spill slot) + native prefix sum -> per-tid depth arrays."""
         if self._acc is None:
             return {t: np.zeros(int(L), np.int32)
                     for t, L in enumerate(self.ref_lens)}
-        diff = np.asarray(jax.jit(lambda a: jnp.sum(a, axis=0))(self._acc))
+        ndev = self.mesh.size
+        diff = np.asarray(self._acc).reshape(ndev, self._g_local + 1)
+        diff = diff[:, :self._g_local].reshape(-1)
         from ..io.native import cumsum_i32
-        cum = cumsum_i32(diff[:self._g_pad])
+        cum = cumsum_i32(np.ascontiguousarray(diff[:self._g_pad]))
         return {t: cum[int(self._offsets[t]):int(self._offsets[t + 1])]
                 for t in range(len(self.ref_names))}
 
@@ -346,39 +368,54 @@ def spmd_run_pipeline_streaming(mesh, ref_fa: str, bam: str, prefix: str, *,
                                 min_mapq: int = 20,
                                 read_pair_used: int = 5_000_000,
                                 force_device_extend: bool = False,
+                                mesh_consensus: bool = False,
                                 filtered_out=None,
+                                stages_out: Optional[dict] = None,
                                 log=lambda *a: None) -> str:
     """The full pipeline with bounded-memory slab ingestion AND the
     numeric stages on the mesh — the composition VERDICT r2 found
     missing.  sv rows are value-identical to the sequential streaming
-    pass (tests/test_stream_spmd.py)."""
+    pass (tests/test_stream_spmd.py).
+
+    mesh_consensus=False (default) runs the getclip consensus on the
+    host's native kernels (it is byte-wrangling, not FLOPs — see
+    SpmdGetclipStream docstring); the mesh carries the numeric stages:
+    genome-sharded coverage, insert histogram, sharded discordant
+    windows, partitioned merge gates, and extension batches."""
     import io
     import sys
     import time
 
     from ..align.engine import BatchAligner
-    from ..pipeline.driver import write_sam, _read_fastq
+    from ..pipeline.getclip import GetclipStream
     from ..pipeline.getsv import (DepthQuery, DiscordantCounter, SV_HEADER,
                                   output_breakpoints)
     from .spmd_pipeline import (merge_junction_sharded,
                                 spmd_build_junctions,
                                 spmd_discordant_counts_sharded)
 
+    stages = stages_out if stages_out is not None else {}
     t0 = time.time()
-    gs = SpmdGetclipStream(mesh, prefix)
+    gs = (SpmdGetclipStream(mesh, prefix) if mesh_consensus
+          else GetclipStream(prefix))
     stats = SpmdStreamStats(mesh, min_mapq, read_pair_used)
     scan_bam(bam, chunk_records, [gs, stats])
     gs.close()
+    stages["getclip_stats_s"] = round(time.time() - t0, 2)
     log(f"[{time.time()-t0:.2f}s] spmd streaming getclip+stats done "
         f"({stats.n:,} records)")
 
     aligner = BatchAligner.from_fasta(ref_fa)
     aligner.shard_mesh = mesh
-    seqs, quals = _read_fastq(f"{prefix}.clip.fq.gz")
-    alns = aligner.batch_align(seqs, force_device=force_device_extend)
-    write_sam(aligner, seqs, quals, alns, f"{prefix}.clip.sam")
+    from ..pipeline.driver import realign_clips
+    t1 = time.time()
+    realign_clips(ref_fa, f"{prefix}.clip.fq.gz", f"{prefix}.clip.sam",
+                  aligner=aligner, force_device=force_device_extend,
+                  chunk_reads=200_000)
+    stages["realign_s"] = round(time.time() - t1, 2)
     log(f"[{time.time()-t0:.2f}s] spmd realign done")
 
+    t1 = time.time()
     jmap, rescue_events = spmd_build_junctions(
         mesh, f"{prefix}.clip.gz", f"{prefix}.clip.sam", 0, False)
     merge_junction_sharded(jmap, 50)
@@ -391,6 +428,7 @@ def spmd_run_pipeline_streaming(mesh, ref_fa: str, bam: str, prefix: str, *,
     for (j, o), c in zip(jmap.items, counts):
         o.abnormal = int(c)
     depth = DepthQuery(recs, min_mapq, cov=stats.coverage())
+    stages["getsv_s"] = round(time.time() - t1, 2)
     log(f"[{time.time()-t0:.2f}s] spmd stats/discordant/depth done")
     with open(f"{prefix}.sv", "w") as fout:
         fout.write(SV_HEADER + "\n")

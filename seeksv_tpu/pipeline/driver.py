@@ -29,15 +29,46 @@ def _read_fastq(path):
     return seqs, quals
 
 
+def _iter_fastq_chunks(path, chunk_reads: int):
+    """Yield (seqs, quals) chunks — the bounded-memory form of
+    _read_fastq for the streaming pipelines (VERDICT r3 #7: the realign
+    phase's live set is one chunk, not the whole clip fastq)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    seqs, quals = [], []
+    with opener(path, "rt") as f:
+        while True:
+            h = f.readline()
+            if not h:
+                break
+            seqs.append(f.readline().strip().encode())
+            f.readline()
+            quals.append(f.readline().strip())
+            if len(seqs) >= chunk_reads:
+                yield seqs, quals
+                seqs, quals = [], []
+    if seqs:
+        yield seqs, quals
+
+
+def write_sam_header(aligner, out) -> None:
+    import numpy as np
+    out.write("@HD\tVN:1.5\tSO:unsorted\n")
+    for name, ln in zip(aligner.idx.chrom_names,
+                        np.diff(aligner.idx.chrom_starts)):
+        out.write(f"@SQ\tSN:{name}\tLN:{int(ln)}\n")
+
+
 def write_sam(aligner, seqs, quals, alns, path) -> None:
+    with open(path, "w") as out:
+        write_sam_header(aligner, out)
+        write_sam_records(aligner, seqs, quals, alns, out)
+
+
+def write_sam_records(aligner, seqs, quals, alns, out) -> None:
     import numpy as np
 
     from ..align.engine import _RC
-    with open(path, "w") as out:
-        out.write("@HD\tVN:1.5\tSO:unsorted\n")
-        for name, ln in zip(aligner.idx.chrom_names,
-                            np.diff(aligner.idx.chrom_starts)):
-            out.write(f"@SQ\tSN:{name}\tLN:{int(ln)}\n")
+    if True:
         for seq, qual, a in zip(seqs, quals, alns):
             qn = seq.decode()
             if not a.mapped:
@@ -70,7 +101,12 @@ def realign_clips(ref_fa: str, clip_fq: str, out_sam: str,
                   device_seed: bool = False,
                   device_align: bool = False,
                   force_device: bool = False,
-                  force_host: bool = False) -> BatchAligner:
+                  force_host: bool = False,
+                  chunk_reads: Optional[int] = None) -> BatchAligner:
+    """chunk_reads: when set, the clip fastq streams through in chunks
+    of that many reads (bounded-memory realign for the streaming
+    pipelines — VERDICT r3 #7; dispatch gates each chunk against the
+    calibrated crossover)."""
     t0 = time.perf_counter()
     if aligner is None:
         aligner = BatchAligner.from_fasta(ref_fa)
@@ -82,6 +118,18 @@ def realign_clips(ref_fa: str, clip_fq: str, out_sam: str,
         aligner.device_seed = True
     if device_align:
         aligner.device_align = True
+    if chunk_reads:
+        with open(out_sam, "w") as out:
+            write_sam_header(aligner, out)
+            for seqs, quals in _iter_fastq_chunks(clip_fq, chunk_reads):
+                alns = aligner.batch_align(seqs, force_device=force_device,
+                                           force_host=force_host)
+                t0 = time.perf_counter()
+                write_sam_records(aligner, seqs, quals, alns, out)
+                aligner.timings["write_sam_s"] = \
+                    aligner.timings.get("write_sam_s", 0.0) \
+                    + time.perf_counter() - t0
+        return aligner
     t0 = time.perf_counter()
     seqs, quals = _read_fastq(clip_fq)
     aligner.timings["read_fq_s"] = \

@@ -88,36 +88,67 @@ def read_clip_reads(path: str, min_len_of_clipped_seq: int
 
 
 def somatic(normal_bam: str, normal_clip_gz: str, tumor_sv: str,
-            out_path: str, *, min_map_rate: float = 0.85, min_mapq: int = 20,
+            out_path: Optional[str], *, min_map_rate: float = 0.85,
+            min_mapq: int = 20,
             offset: int = 30, min_len_of_clipped_seq: int = 10,
             read_pair_used: int = 5_000_000, times: int = 4,
-            recs: Optional[BamRecords] = None, stats=None) -> None:
+            recs: Optional[BamRecords] = None, stats=None,
+            mean_dev: Optional[Tuple[int, int]] = None,
+            collect_triples: Optional[list] = None,
+            use_triples=None) -> None:
     """ref CallSomatic (seeksv.cpp:366-410) +
     ReadTumorFileAndOutputSomaticInfo (somatic.cpp:14-427).
 
     stats: a pipeline.stream.StreamStats over the normal BAM (the
-    bounded-memory path; avoids re-decoding the normal BAM here)."""
-    clip3, clip5 = read_clip_reads(normal_clip_gz, min_len_of_clipped_seq)
-    mean = dev = 0
-    if stats is not None:
-        recs = stats.light()
-        if read_pair_used >= 100_000:
-            mean, dev = stats.insert_size()
-    else:
-        if recs is None:
-            recs = read_bam(normal_bam)
-        if read_pair_used >= 100_000:
-            mean, dev = calculate_insert_size(recs, min_mapq, read_pair_used)
-    counter = DiscordantCounter(recs, min_mapq, mean, dev, times)
+    bounded-memory path; avoids re-decoding the normal BAM here).
 
-    fout = open(out_path, "w")
+    Distribution hooks (parallel/multiproc.multiprocess_somatic): the
+    control flow per tumor row depends only on the row's own fields,
+    and every normal-side lookup (clip-map probes bounded to one
+    chromosome position window; discordant window inside the
+    up-chromosome) finds nonzero support only on the process owning
+    that normal range — so per-process triples computed on LOCAL maps
+    and records sum to the sequential values.
+      collect_triples: compute (nleft, nright, nab) per row into this
+        list and write nothing (out_path may be None);
+      use_triples: skip all lookups and write rows with these combined
+        values (maps/records unused);
+      mean_dev: externally computed global insert stats (the
+        multi-process first-N estimator)."""
+    if use_triples is not None:
+        clip3 = clip5 = counter = None
+        mean = dev = 0
+    else:
+        clip3, clip5 = read_clip_reads(normal_clip_gz,
+                                       min_len_of_clipped_seq)
+        if mean_dev is not None:
+            mean, dev = mean_dev
+            if recs is None and stats is not None:
+                recs = stats.light()
+        elif stats is not None:
+            recs = stats.light()
+            mean = dev = 0
+            if read_pair_used >= 100_000:
+                mean, dev = stats.insert_size()
+        else:
+            if recs is None:
+                recs = read_bam(normal_bam)
+            mean = dev = 0
+            if read_pair_used >= 100_000:
+                mean, dev = calculate_insert_size(recs, min_mapq,
+                                                  read_pair_used)
+        counter = DiscordantCounter(recs, min_mapq, mean, dev, times)
+
+    fout = open(out_path, "w") if out_path is not None else None
+    _row_ids: list = []
     with open(tumor_sv) as fin:
         for line in fin:
             if line.startswith("@"):
-                fout.write(line.rstrip("\n")
-                           + "\tleft_clip_read_NO_of_control"
-                           "\tright_clip_read_NO_of_control"
-                           "\tabnormal_read_pair_no_of_control\n")
+                if fout is not None:
+                    fout.write(line.rstrip("\n")
+                               + "\tleft_clip_read_NO_of_control"
+                               "\tright_clip_read_NO_of_control"
+                               "\tabnormal_read_pair_no_of_control\n")
                 continue
             fl = line.split()
             if len(fl) < 23:
@@ -136,7 +167,18 @@ def somatic(normal_bam: str, normal_clip_gz: str, tumor_sv: str,
             nab = 0
             emit = True
 
-            if up_strand == "+" and down_strand == "+":
+            if use_triples is not None:
+                # combined values from the per-process passes; emit is a
+                # pure function of the row's own fields (every
+                # emit=False branch below is either '-/-' or
+                # 'mh == -1 with both sides supported')
+                emit = not ((up_strand == "-" and down_strand == "-")
+                            or (mh == -1 and up_reads != 0
+                                and down_reads != 0))
+                nleft, nright, nab = (int(v) for v in
+                                      use_triples[len(_row_ids)])
+                _row_ids.append(None)
+            elif up_strand == "+" and down_strand == "+":
                 if mh != -1:
                     for e in clip5.equal_range((down_chr, down_pos)):
                         if (match_rate_begin(down_seq, e.seq_right) >= min_map_rate
@@ -294,6 +336,9 @@ def somatic(normal_bam: str, normal_clip_gz: str, tumor_sv: str,
             else:
                 emit = False  # '-/-' never emitted by getsv (ref: cerr only)
 
+            if collect_triples is not None:
+                collect_triples.append((nleft, nright, nab))
+                continue
             if emit:
                 fout.write(
                     f"{up_chr}\t{up_pos}\t{up_strand}\t{up_reads}\t{down_chr}\t"
@@ -302,7 +347,8 @@ def somatic(normal_bam: str, normal_clip_gz: str, tumor_sv: str,
                     + f"\t{fmt_g(up_rate)}\t{fmt_g(down_rate)}\t{up_cigar}\t"
                     f"{down_cigar}\t{up_seq.decode()}\t{down_seq.decode()}\t"
                     f"{nleft}\t{nright}\t{nab}\n")
-    fout.close()
+    if fout is not None:
+        fout.close()
 
 
 def somatic_filter(temp_sv_path: str, out_path: str) -> None:

@@ -326,7 +326,8 @@ def run_pipeline_streaming(ref_fa: str, bam: str, prefix: str, *,
     log(f"[{time.time()-t0:.2f}s] streaming getclip+stats done "
         f"({stats.n:,} records)")
     realign_clips(ref_fa, f"{prefix}.clip.fq.gz", f"{prefix}.clip.sam",
-                  device_seed=device_seed, device_align=device_align)
+                  device_seed=device_seed, device_align=device_align,
+                  chunk_reads=200_000)
     log(f"[{time.time()-t0:.2f}s] realignment done")
     getsv(f"{prefix}.clip.sam", bam, f"{prefix}.clip.gz", f"{prefix}.sv",
           f"{prefix}.unmapped.clip.fq", stats=stats,

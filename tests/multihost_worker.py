@@ -36,6 +36,39 @@ def main():
 
     assert jax.process_count() == nproc, jax.process_count()
 
+    if mode == "somatic":
+        # distributed tumor/normal subtraction: <bam> is the NORMAL BAM,
+        # sharded by chromosome range; every process evaluates the tumor
+        # sv rows against its local normal clip maps + records and the
+        # triples are summed (parallel.multiproc.multiprocess_somatic)
+        tumor_sv, workdir = sys.argv[6], sys.argv[7]
+        from seeksv_tpu.parallel.multiproc import multiprocess_somatic
+        n_dev = jax.device_count()
+        devs = np.array(jax.devices()).reshape(n_dev, 1)
+        mesh = Mesh(devs, ("dp", "gp"))
+        out = multiprocess_somatic(
+            mesh, bam, tumor_sv, f"{workdir}/mp.temp.sv",
+            f"{workdir}/mp.somatic.sv", f"{workdir}/mp",
+            log=lambda *a: print(*a, flush=True))
+        if pid == 0:
+            from seeksv_tpu.pipeline.getclip import getclip
+            from seeksv_tpu.pipeline.somatic import somatic, somatic_filter
+            getclip(bam, f"{workdir}/seqn")
+            somatic(bam, f"{workdir}/seqn.clip.gz", tumor_sv,
+                    f"{workdir}/seq.temp.sv")
+            somatic_filter(f"{workdir}/seq.temp.sv",
+                           f"{workdir}/seq.somatic.sv")
+            for got_p, want_p in ((f"{workdir}/mp.temp.sv",
+                                   f"{workdir}/seq.temp.sv"),
+                                  (out, f"{workdir}/seq.somatic.sv")):
+                got = open(got_p, "rb").read()
+                want = open(want_p, "rb").read()
+                assert got == want, f"somatic diverges: {got_p}\n" \
+                    + got.decode()[:1500] + "\n----\n" + want.decode()[:1500]
+            print("MULTIHOST_SOMATIC_OK", flush=True)
+        else:
+            print(f"[{pid}] somatic done", flush=True)
+        return
     if mode == "pipeline":
         ref_fa, workdir = sys.argv[6], sys.argv[7]
         from seeksv_tpu.parallel.multiproc import multiprocess_run_pipeline

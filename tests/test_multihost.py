@@ -26,13 +26,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(extra_args, ok_token, timeout=420):
+def _run_workers(extra_args, ok_token, timeout=420, bam=CANCER):
     port = _free_port()
     env = dict(os.environ)
     # the workers pick their own platform/device config in-process
     env.pop("XLA_FLAGS", None)
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(pid), "2", str(port), CANCER]
+        [sys.executable, WORKER, str(pid), "2", str(port), bam]
         + extra_args,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         text=True) for pid in range(2)]
@@ -62,3 +62,13 @@ def test_two_process_full_pipeline_sv_byte_equal(tmp_path):
     _run_workers(
         ["pipeline", "/root/reference/example/reference/example.fa",
          str(tmp_path)], "MULTIHOST_PIPELINE_OK")
+
+
+def test_two_process_somatic_byte_equal(tmp_path):
+    """Distributed tumor/normal subtraction (VERDICT r3 #6): the normal
+    BAM host-sharded, per-process local clip maps + discordant counting,
+    per-row triples summed across processes — byte-equal temp AND final
+    somatic.sv vs the sequential pass."""
+    _run_workers(["somatic", "/root/reference/example/cancer.sv",
+                  str(tmp_path)], "MULTIHOST_SOMATIC_OK",
+                 bam="/root/reference/example/normal.sort.bam")

@@ -181,3 +181,63 @@ def test_coverage_depth_matches_cumsum():
     np.add.at(diff, np.clip(ends, 0, L + 1), -w)
     ref = np.cumsum(diff)[:L]
     assert (got == ref).all()
+
+
+def test_global_align_ladder_long_pairs():
+    """min(m,n) > 256 pairs run the banded ladder (rungs 16/64/256 ->
+    full); native and numpy implement the identical spec, and for
+    substitution-only pairs the result equals the full DP."""
+    from seeksv_tpu.align.sw import global_align_np, _global_banded_np
+    from seeksv_tpu.io import native
+    if not native.sw_available():
+        import pytest
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        m = int(rng.integers(300, 1200))
+        q = rng.integers(0, 4, m).astype(np.int32)
+        t = q.copy()
+        # strain-divergence substitutions
+        sites = rng.random(m) < 0.05
+        t[sites] = (t[sites] + rng.integers(1, 4, int(sites.sum()))) % 4
+        if trial % 2:
+            # implant indels (may push past the first rungs)
+            for _ in range(int(rng.integers(1, 4))):
+                p = int(rng.integers(10, len(t) - 10))
+                ln = int(rng.integers(1, 30))
+                if rng.random() < 0.5:
+                    t = np.concatenate(
+                        [t[:p], rng.integers(0, 4, ln).astype(np.int32),
+                         t[p:]])
+                else:
+                    t = np.concatenate([t[:p], t[p + ln:]])
+        sc_n, cig_n = native.sw_global_native(q, t)
+        sc_p, cig_p = global_align_np(q, t)
+        assert sc_n == sc_p, (trial, sc_n, sc_p)
+        assert cig_n == cig_p, (trial, cig_n[:5], cig_p[:5])
+        if not trial % 2:
+            # substitution-only: ladder must equal an ample single band
+            sc_f, cig_f = _global_banded_np(q, t, 2048)
+            assert (sc_n, cig_n) == (sc_f, cig_f)
+
+
+def test_global_align_batch_matches_single_long():
+    from seeksv_tpu.align.sw import global_align_np
+    from seeksv_tpu.io import native
+    if not native.sw_global_batch_available():
+        import pytest
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(9)
+    qs, ts = [], []
+    for _ in range(6):
+        m = int(rng.integers(280, 900))
+        q = rng.integers(0, 4, m).astype(np.int32)
+        t = q.copy()
+        s = rng.random(m) < 0.04
+        t[s] = (t[s] + rng.integers(1, 4, int(s.sum()))) % 4
+        qs.append(q)
+        ts.append(t)
+    for (sc, cig, nm), q, t in zip(
+            native.sw_global_batch_native(qs, ts), qs, ts):
+        sc_p, cig_p = global_align_np(q, t)
+        assert (sc, cig) == (sc_p, cig_p)
