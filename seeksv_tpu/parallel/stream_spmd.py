@@ -204,6 +204,9 @@ class SpmdStreamStats:
                                 "mapq", "isize", "tid", "end", "hard"))
         self._update_fn = None
         self._hist_fn = None
+        self._pend_pts: list = []
+        self._pend_val: list = []
+        self._pend_n = 0
 
     def reserve_hint(self, n_records: int) -> None:
         self._cols.hint(n_records)
@@ -264,8 +267,9 @@ class SpmdStreamStats:
                 self._acc_sharding)
 
         # coverage segments -> ±1 point updates routed to their owner
-        # shard on host, local scatter on device (padded to pow2 buckets
-        # so the donated jit compiles a handful of shapes, not per slab)
+        # shard on host; points BUFFER across slabs and scatter in a few
+        # large device calls (per-slab dispatch of ndev tiny executions
+        # dominates on a virtual mesh squeezed onto 2 cores)
         st, en = _flat_segments(recs, self.min_mapq, self._offsets,
                                 self._g_pad)
         pts = np.concatenate([st, en])
@@ -273,22 +277,11 @@ class SpmdStreamStats:
         val[:len(st)] = 1
         val[len(st):] = -1
         inb = pts < self._g_pad
-        pts, val = pts[inb], val[inb]
-        shard = pts // self._g_local
-        order = np.argsort(shard, kind="stable")
-        pts, val, shard = pts[order], val[order], shard[order]
-        cnt = np.bincount(shard, minlength=ndev)
-        K = _pow2_bucket(int(cnt.max(initial=1)))
-        idxp = np.full(ndev * K, self._g_local, np.int32)  # pad: spill slot
-        valp = np.zeros(ndev * K, np.int32)
-        dst = np.repeat(np.arange(ndev, dtype=np.int64) * K, cnt) + \
-            (np.arange(len(pts)) -
-             np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt))
-        idxp[dst] = (pts - shard * self._g_local).astype(np.int32)
-        valp[dst] = val
-        self._acc = self._update(
-            self._acc, jax.device_put(idxp, self._seg_sharding),
-            jax.device_put(valp, self._seg_sharding))
+        self._pend_pts.append(pts[inb])
+        self._pend_val.append(val[inb])
+        self._pend_n += int(inb.sum())
+        if self._pend_n >= 16_000_000:
+            self._flush_points()
 
         # insert-size histogram with the running cross-slab first-N offset
         if self._base < self.read_pair_used:
@@ -319,9 +312,35 @@ class SpmdStreamStats:
             end=recs.pos + recs.ref_span(count_x=True), hard=hard)
 
     # ---- finalize --------------------------------------------------------
+    def _flush_points(self) -> None:
+        import jax
+
+        if self._pend_n == 0:
+            return
+        ndev = self.mesh.size
+        pts = np.concatenate(self._pend_pts)
+        val = np.concatenate(self._pend_val)
+        self._pend_pts, self._pend_val, self._pend_n = [], [], 0
+        shard = pts // self._g_local
+        order = np.argsort(shard, kind="stable")
+        pts, val, shard = pts[order], val[order], shard[order]
+        cnt = np.bincount(shard, minlength=ndev)
+        K = _pow2_bucket(int(cnt.max(initial=1)))
+        idxp = np.full(ndev * K, self._g_local, np.int32)  # pad: spill slot
+        valp = np.zeros(ndev * K, np.int32)
+        dst = np.repeat(np.arange(ndev, dtype=np.int64) * K, cnt) + \
+            (np.arange(len(pts)) -
+             np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt))
+        idxp[dst] = (pts - shard * self._g_local).astype(np.int32)
+        valp[dst] = val
+        self._acc = self._update(
+            self._acc, jax.device_put(idxp, self._seg_sharding),
+            jax.device_put(valp, self._seg_sharding))
+
     def coverage(self) -> Dict[int, np.ndarray]:
         """Gather the genome-sharded diff accumulator (drop each shard's
         spill slot) + native prefix sum -> per-tid depth arrays."""
+        self._flush_points()
         if self._acc is None:
             return {t: np.zeros(int(L), np.int32)
                     for t, L in enumerate(self.ref_lens)}
@@ -418,13 +437,18 @@ def spmd_run_pipeline_streaming(mesh, ref_fa: str, bam: str, prefix: str, *,
     t1 = time.time()
     jmap, rescue_events = spmd_build_junctions(
         mesh, f"{prefix}.clip.gz", f"{prefix}.clip.sam", 0, False)
+    stages["junctions_s"] = round(time.time() - t1, 2)
+    t2 = time.time()
     merge_junction_sharded(jmap, 50)
+    stages["merge_s"] = round(time.time() - t2, 2)
     mean, dev = stats.insert_size()
     log(f"Mean insert size: {mean}; deviation: {dev}")
     recs = stats.light()
+    t2 = time.time()
     counter = DiscordantCounter(recs, min_mapq, mean, dev, 4)
     counts = spmd_discordant_counts_sharded(mesh, counter,
                                             [j for j, _ in jmap.items])
+    stages["discordant_s"] = round(time.time() - t2, 2)
     for (j, o), c in zip(jmap.items, counts):
         o.abnormal = int(c)
     depth = DepthQuery(recs, min_mapq, cov=stats.coverage())

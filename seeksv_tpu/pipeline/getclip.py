@@ -166,6 +166,21 @@ def _write_chrom(chrom: str, bmap: BreakpointMap, orient: str, soft_out, fq_out)
             f"@{cs}\n{cs}\n+\n{clipped_q.tobytes().decode()}\n".encode())
 
 
+class _OwnFilter:
+    """Insert-filtering proxy over a BreakpointMap: drops events whose
+    breakpoint position is outside the owned [lo, hi) interval (the
+    python-fallback counterpart of _filter_rows_owned)."""
+
+    def __init__(self, inner, lo: int, hi: int):
+        self.inner = inner
+        self.lo = lo
+        self.hi = hi
+
+    def insert(self, pos, *a, **k):
+        if self.lo <= pos < self.hi:
+            self.inner.insert(pos, *a, **k)
+
+
 class GetclipStream:
     """Incremental getclip over BamRecords slabs (io.bam.read_bam_chunks):
     per-breakpoint maps, mate pairing, and the last-seen tid carry across
@@ -176,10 +191,19 @@ class GetclipStream:
     inside a chromosome do NOT flush)."""
 
     def __init__(self, prefix: str, threshold: float = 0.85,
-                 min_mapq: int = 20, save_low_quality: bool = False):
+                 min_mapq: int = 20, save_low_quality: bool = False,
+                 own_range=None):
+        """own_range: optional (tid, pos_lo, pos_hi_exclusive) triples —
+        when set, only clip events whose BREAKPOINT position falls in an
+        owned range are inserted (the sub-chromosome multi-process
+        sharding: records near a cut are ingested by both neighbors via
+        halos, and this filter assigns each breakpoint group to exactly
+        one owner; unmapped-pair extraction is similarly restricted to
+        owned record positions)."""
         self.threshold = threshold
         self.min_mapq = min_mapq
         self.save_low_quality = save_low_quality
+        self.own_range = own_range
         self.soft_out = gzip.open(f"{prefix}.clip.gz", "wb", compresslevel=1)
         self.fq_out = gzip.open(f"{prefix}.clip.fq.gz", "wb", compresslevel=1)
         self.un1 = gzip.open(f"{prefix}.unmapped_1.fq.gz", "wb",
@@ -281,6 +305,9 @@ class GetclipStream:
         #     quirk, clip_reads.h:423-438) — except a leading tid-0 run
         #     (last_tid starts at 0).
         for i in np.nonzero(unmapped_any)[0]:
+            if self.own_range is not None and not self._owned(
+                    int(recs.tid[i]), int(recs.pos[i])):
+                continue
             _store_unmapped(recs, int(i), self.id2seq_qual, self.un1,
                             self.un2)
 
@@ -301,16 +328,40 @@ class GetclipStream:
                 cand = run[clip_candidate[run]]
                 if self._nmap is not None:
                     if len(cand):
-                        self._nmap.insert_slab(
-                            recs, self._candidate_rows(
-                                recs, cand, first_op, last_op, first_len,
-                                last_len, map_len))
+                        rows = self._candidate_rows(
+                            recs, cand, first_op, last_op, first_len,
+                            last_len, map_len)
+                        if self.own_range is not None:
+                            rows = self._filter_rows_owned(rows, tid)
+                        self._nmap.insert_slab(recs, rows)
                     continue
+                lmap, rmap = self.left_map, self.right_map
+                if self.own_range is not None:
+                    lo, hi = self._tid_interval(tid)
+                    lmap = _OwnFilter(lmap, lo, hi)
+                    rmap = _OwnFilter(rmap, lo, hi)
                 for i in cand:
-                    _get_sclip_read(recs, int(i), self.left_map,
-                                    self.right_map, self.threshold,
+                    _get_sclip_read(recs, int(i), lmap, rmap,
+                                    self.threshold,
                                     self.save_low_quality, first_op, last_op,
                                     first_len, last_len, map_len)
+
+    def _tid_interval(self, tid: int):
+        """Owned 1-based breakpoint-position interval for one tid
+        ([-inf, -1] when the tid has no owned range)."""
+        for t, lo, hi in self.own_range:
+            if t == tid:
+                return lo, hi
+        return 0, -1
+
+    def _owned(self, tid: int, pos: int) -> bool:
+        lo, hi = self._tid_interval(tid)
+        return lo <= pos < hi
+
+    def _filter_rows_owned(self, rows, tid):
+        lo, hi = self._tid_interval(tid)
+        keep = (rows["pos"] >= lo) & (rows["pos"] < hi)
+        return {k: v[keep] for k, v in rows.items()}
 
     def close(self) -> None:
         self._flush(self.last_tid)

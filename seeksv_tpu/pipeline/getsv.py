@@ -238,7 +238,9 @@ def get_junction(ari: AlignReadsInfo, orientation: str, cai: AlignInfo,
         insert_junction_event(jmap, ev[1], ev[2], ev[3])
 
 
-def iter_soft_groups(clipfile: str, samfile: str, skip_min_mapq: int = 0):
+def iter_soft_groups(clipfile: str, samfile: str, skip_min_mapq: int = 0,
+                     initial_last: Optional[bytes] = None,
+                     seam_overrides=None):
     """Co-iterate clip.gz with the realigned clip records
     (ref: getsv.h:423-541), preserving grouping/order quirks; yields one
     (AlignReadsInfo, orientation, [AlignInfo...]) tuple per clip group —
@@ -249,11 +251,22 @@ def iter_soft_groups(clipfile: str, samfile: str, skip_min_mapq: int = 0):
     g_min_mapQ is 0 here unless `-F` ran first, in which case FindJunction
     left it at the read-through mapQ (ref: process_bwasw.cpp:32 +
     sam_view.h:5) and __g_skip_aln then filters the clip.bam records too.
-    """
+
+    Multi-process segment support (parallel/multiproc.py): a segment cut
+    out of the sequential stream must reproduce the co-iteration's
+    odd-keying quirk — the FIRST alignment record of each group is keyed
+    under the PREVIOUS group's seq (getsv.h:472-509), and a segment's
+    predecessor lives on another process.  initial_last seeds the
+    carried seq for the segment's first group; seam_overrides maps a
+    clip DATA-LINE index (a section start whose sequential predecessor
+    is elsewhere) to the predecessor seq to key that group's first
+    record under."""
     sam = read_bam(samfile)
     j = 0
     nsam = sam.n
-    last: Optional[bytes] = None
+    last: Optional[bytes] = initial_last
+    li = -1                      # clip data-line index (parsed lines)
+    seam_overrides = seam_overrides or {}
     clip_group: List[Tuple[AlignReadsInfo, str]] = []
     align_map: Dict[Tuple[bytes, Tuple[str, int]], AlignInfo] = {}
 
@@ -269,6 +282,7 @@ def iter_soft_groups(clipfile: str, samfile: str, skip_min_mapq: int = 0):
             f = line.split()
             if len(f) < 9:
                 continue
+            li += 1
             ari = AlignReadsInfo(f[0], int(f[1]), cg.parse(f[3]),
                                  f[4].encode(), f[6].encode(), f[7].encode(),
                                  int(f[8]))
@@ -278,6 +292,7 @@ def iter_soft_groups(clipfile: str, samfile: str, skip_min_mapq: int = 0):
                 clip_group.append((ari, orient))
                 last = cseq
                 continue
+            key_seq = seam_overrides.get(li, last)
             while j < nsam:
                 i = j
                 j += 1
@@ -294,7 +309,7 @@ def iter_soft_groups(clipfile: str, samfile: str, skip_min_mapq: int = 0):
                     if g is not None:
                         yield g
                     clip_group = [(ari, orient)]
-                    align_map = {(last, (cai.chr, cai.pos)): cai}  # old-seq key (quirk)
+                    align_map = {(key_seq, (cai.chr, cai.pos)): cai}  # old-seq key (quirk)
                     last = cseq
                     break
             # sam exhausted without a new group: line dropped (ref behavior)

@@ -26,16 +26,16 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers(extra_args, ok_token, timeout=420, bam=CANCER):
+def _run_workers(extra_args, ok_token, timeout=420, bam=CANCER, nproc=2):
     port = _free_port()
     env = dict(os.environ)
     # the workers pick their own platform/device config in-process
     env.pop("XLA_FLAGS", None)
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(pid), "2", str(port), bam]
+        [sys.executable, WORKER, str(pid), str(nproc), str(port), bam]
         + extra_args,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-        text=True) for pid in range(2)]
+        text=True) for pid in range(nproc)]
     outs = []
     for p in procs:
         try:
@@ -48,6 +48,7 @@ def _run_workers(extra_args, ok_token, timeout=420, bam=CANCER):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
     assert ok_token in outs[0], outs[0][-3000:]
+    return outs
 
 
 def test_two_process_coverage_insert_equals_sequential():
@@ -72,3 +73,60 @@ def test_two_process_somatic_byte_equal(tmp_path):
     _run_workers(["somatic", "/root/reference/example/cancer.sv",
                   str(tmp_path)], "MULTIHOST_SOMATIC_OK",
                  bam="/root/reference/example/normal.sort.bam")
+
+
+def _single_chrom_dataset(tmp_path, with_equal_boundary: bool):
+    """Single-chromosome simulated dataset; optionally with two
+    deletions whose downstream contexts are IDENTICAL and which straddle
+    the 2-process flat cut (G/2) — the adjacent-equal-clipped-seq case
+    the sequential co-iteration merges into one group (getsv.h:472-509)
+    and the range sharding must exchange across the seam."""
+    import numpy as np
+
+    from seeksv_tpu.io.bai import build_index
+    from seeksv_tpu.utils.simulate import (build_donor, random_genome,
+                                           simulate_reads, write_fasta)
+    rng = np.random.default_rng(3)
+    G = 240_000
+    g = random_genome(rng, G)
+    dels = [(30_000, 30_400), (200_000, 200_500)]
+    cov, seed = 30, 5
+    if with_equal_boundary:
+        # two deletions with IDENTICAL junction contexts either side of
+        # the 2-process cut (G/2 = 120k); coverage 120 + seed 0 verified
+        # to produce byte-equal adjacent clip consensi straddling it
+        startA, endA = 117_000, 117_400
+        startB, endB = 123_000, 123_400
+        g[endB:endB + 300] = g[endA:endA + 300]
+        g[startB - 300:startB] = g[startA - 300:startA]
+        dels += [(startA, endA), (startB, endB)]
+        cov, seed = 120, 0
+    ref = {"chr1": g}
+    donor = build_donor(ref, deletions=sorted(dels))
+    bam = str(tmp_path / "sim.bam")
+    fa = str(tmp_path / "ref.fa")
+    simulate_reads(donor, ["chr1"], [G], bam, coverage=cov, seed=seed,
+                   error_rate=0.0)
+    build_index(bam)
+    write_fasta(fa, ref)
+    return bam, fa
+
+
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_range_sharding_single_chromosome(tmp_path, nproc):
+    """VERDICT r3 #5 'Done': N-process byte-equal sv.txt on a
+    SINGLE-chromosome genome (the flat-position cuts land mid-chr1)."""
+    bam, fa = _single_chrom_dataset(tmp_path, with_equal_boundary=False)
+    _run_workers(["pipeline", fa, str(tmp_path)],
+                 "MULTIHOST_PIPELINE_OK", bam=bam, nproc=nproc)
+
+
+def test_range_sharding_equal_boundary_group_exchange(tmp_path):
+    """Adjacent clip groups with EQUAL clipped seqs straddling the
+    process cut: the r3 form raised; the range sharding exchanges the
+    boundary group and stays byte-equal to the sequential pass."""
+    bam, fa = _single_chrom_dataset(tmp_path, with_equal_boundary=True)
+    outs = _run_workers(["pipeline", fa, str(tmp_path)],
+                        "MULTIHOST_PIPELINE_OK", bam=bam, nproc=2)
+    # the exchange must actually FIRE (not pass vacuously)
+    assert any("boundary-group exchange" in o for o in outs), outs[0][-2000:]
