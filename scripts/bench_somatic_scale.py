@@ -29,6 +29,14 @@ import time
 
 import numpy as np
 
+
+def _platform():
+    try:
+        import jax
+        return jax.devices()[0].platform
+    except Exception:
+        return None
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BIN_DIR = "/root/reference/example/bin"
@@ -101,6 +109,9 @@ def main():
     ap.add_argument("--seed", type=int, default=2)
     ap.add_argument("--events", type=int, default=2000)
     ap.add_argument("--cpu-jax", action="store_true")
+    ap.add_argument("--trials", type=int, default=3,
+                    help="best-of-N on both sides (ADVICE r2 / VERDICT "
+                         "r3 weak #7: one-shot numbers hide variance)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.cpu_jax:
@@ -124,32 +135,38 @@ def main():
     bwa = os.path.join(root, "bwa")
 
     with tempfile.TemporaryDirectory() as d:
-        # ---- reference flow (seeksv.somatic.sh) ----
+        # ---- reference flow (seeksv.somatic.sh), best-of-N ----
         rp = os.path.join(d, "ref")
-        t0 = time.time()
-        subprocess.run([seeksv, "getclip", "-o", rp, tumor], check=True,
-                       capture_output=True)
-        with open(f"{rp}.clip.sam", "wb") as f:
-            subprocess.run([bwa, "mem", os.path.join(root, "ref.fa"),
-                            f"{rp}.clip.fq.gz"], check=True, stdout=f,
-                           stderr=subprocess.DEVNULL)
-        subprocess.run([seeksv, "getsv", f"{rp}.clip.sam", tumor,
-                        f"{rp}.clip.gz", f"{rp}.sv", f"{rp}.r.fq"],
-                       check=True, capture_output=True)
-        subprocess.run([seeksv, "getclip", "-o", f"{rp}.n", normal],
-                       check=True, capture_output=True)
-        subprocess.run([seeksv, "somatic", normal, f"{rp}.n.clip.gz",
-                        f"{rp}.sv", f"{rp}.somatic.temp.sv"], check=True,
-                       capture_output=True)
-        awk_filter(f"{rp}.somatic.temp.sv", f"{rp}.somatic.sv")
-        ref_s = time.time() - t0
+        ref_totals = []
+        for _ in range(max(1, args.trials)):
+            t0 = time.time()
+            subprocess.run([seeksv, "getclip", "-o", rp, tumor], check=True,
+                           capture_output=True)
+            with open(f"{rp}.clip.sam", "wb") as f:
+                subprocess.run([bwa, "mem", os.path.join(root, "ref.fa"),
+                                f"{rp}.clip.fq.gz"], check=True, stdout=f,
+                               stderr=subprocess.DEVNULL)
+            subprocess.run([seeksv, "getsv", f"{rp}.clip.sam", tumor,
+                            f"{rp}.clip.gz", f"{rp}.sv", f"{rp}.r.fq"],
+                           check=True, capture_output=True)
+            subprocess.run([seeksv, "getclip", "-o", f"{rp}.n", normal],
+                           check=True, capture_output=True)
+            subprocess.run([seeksv, "somatic", normal, f"{rp}.n.clip.gz",
+                            f"{rp}.sv", f"{rp}.somatic.temp.sv"], check=True,
+                           capture_output=True)
+            awk_filter(f"{rp}.somatic.temp.sv", f"{rp}.somatic.sv")
+            ref_totals.append(round(time.time() - t0, 3))
+        ref_s = min(ref_totals)
 
-        # ---- our flow (single streaming pass per BAM) ----
+        # ---- our flow (single streaming pass per BAM), best-of-N ----
         op = os.path.join(d, "ours")
-        t0 = time.time()
-        run_pipeline_streaming(os.path.join(root, "ref.fa"), tumor, op,
-                               normal_bam=normal)
-        ours_s = time.time() - t0
+        ours_totals = []
+        for _ in range(max(1, args.trials)):
+            t0 = time.time()
+            run_pipeline_streaming(os.path.join(root, "ref.fa"), tumor, op,
+                                   normal_bam=normal)
+            ours_totals.append(round(time.time() - t0, 3))
+        ours_s = min(ours_totals)
 
         # somatic parity on the aligner-independent contract: feed OUR
         # tumor sv through the reference somatic binary + awk and compare
@@ -188,6 +205,12 @@ def main():
             "ours_total_s": round(ours_s, 1),
             "ref_total_s": round(ref_s, 1),
             "vs_baseline": round(ref_s / ours_s, 4),
+            "trials": max(1, args.trials),
+            "ours_totals_s": ours_totals,
+            "ref_totals_s": ref_totals,
+            "ours_stddev_s": round(float(np.std(ours_totals)), 3),
+            "ref_stddev_s": round(float(np.std(ref_totals)), 3),
+            "jax_platform": _platform(),
             "somatic_parity_vs_reference_binary": parity_cross,
             "somatic_calls_ours": sum(
                 1 for ln in ours_somatic.decode().splitlines()

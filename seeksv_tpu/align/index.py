@@ -57,12 +57,13 @@ class KmerIndex:
 
     @classmethod
     def _bits(cls, k: int, n_keys: int) -> int:
-        """Prefix width: scale with index size (a tiny reference does
-        not pay a fixed 134 MB table) but keep the residual low bits
-        <=16 whenever 2k-16 fits under the cap, so the low-key array is
-        uint16 on every production index."""
+        """Prefix width: scales with index size (a tiny reference does
+        not pay a fixed 134 MB bucket table), floored at 2k-32 so the
+        residual always fits uint32.  Indexes with >=2^21 kmers (every
+        production-scale reference, >=~2 Mbp) get bits >= 2k-16 and the
+        uint16 residual layout."""
         return min(PREFIX_BITS, 2 * k,
-                   max(int(n_keys).bit_length(), 1, 2 * k - 16))
+                   max(int(n_keys).bit_length(), 1, 2 * k - 32))
 
     @classmethod
     def _low_dtype(cls, shift: int):

@@ -276,16 +276,33 @@ def scan_bam(bam_path: str, chunk_records: int,
 
     th = threading.Thread(target=producer, daemon=True)
     th.start()
+    # SEEKSV_STREAM_PROFILE=1: per-consumer + queue-wait seconds on
+    # stderr at end of pass (decode wall hides under consumer work when
+    # prefetch overlaps well; queue-wait ~= non-overlapped decode)
+    prof = os.environ.get("SEEKSV_STREAM_PROFILE")
+    t_wait = 0.0
+    t_cons = [0.0] * len(consumers)
     try:
+        import time as _time
         while True:
+            t0 = _time.perf_counter()
             item = q.get()
+            t_wait += _time.perf_counter() - t0
             if item is _SENTINEL:
                 break
             if isinstance(item, BaseException):
                 raise item
-            for cns in consumers:
+            for ci, cns in enumerate(consumers):
+                t0 = _time.perf_counter()
                 cns.process(item)
+                t_cons[ci] += _time.perf_counter() - t0
             del item  # drop the slab before blocking on the next one
+        if prof:
+            import sys as _sys
+            print(f"# scan_bam profile: queue_wait={t_wait:.2f}s " +
+                  " ".join(f"{type(c).__name__}={t:.2f}s"
+                           for c, t in zip(consumers, t_cons)),
+                  file=_sys.stderr)
     finally:
         # stop + unblock a producer stuck on put() if the consumer raised
         stop.set()

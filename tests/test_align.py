@@ -174,3 +174,39 @@ def test_paired_end_alignment(tmp_path):
             assert fl2 & 0x10 and not fl2 & 0x20
     assert ok_pos >= 0.97 * n_pairs
     assert proper >= 0.95 * n_pairs
+
+
+def test_v2_index_uint16_layout_at_scale():
+    """Indexes with >= 2^21 kmers use the uint16 residual layout (the
+    production path); lookup must equal brute-force searchsorted over
+    the full hashes."""
+    import numpy as np
+
+    from seeksv_tpu.align.index import KmerIndex
+    rng = np.random.default_rng(21)
+    g = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 3_000_000)]
+    idx = KmerIndex.build({"c": g}, k=19)
+    assert idx.keys.dtype == np.uint16, idx.keys.dtype
+    assert idx.positions.dtype == np.uint32
+    # brute-force oracle on a sample of query kmers (some present, some
+    # random-absent)
+    n = len(g)
+    h = np.zeros(n - 19 + 1, np.uint64)
+    from seeksv_tpu.align.index import ENCODE
+    codes = ENCODE[g]
+    for j in range(19):
+        h = (h << np.uint64(2)) | codes[j:n - 19 + 1 + j].astype(np.uint64)
+    full_sorted = np.sort(h)
+    qs = np.concatenate([h[rng.integers(0, len(h), 500)],
+                         rng.integers(0, 1 << 38, 500).astype(np.uint64)])
+    lo, hi = idx.lookup(qs)
+    lo_b = np.searchsorted(full_sorted, qs, "left")
+    hi_b = np.searchsorted(full_sorted, qs, "right")
+    np.testing.assert_array_equal(hi - lo, hi_b - lo_b)
+    # positions under each hit must hash back to the query kmer
+    for q, a, b in zip(qs[:50], lo[:50], hi[:50]):
+        for p in idx.positions[a:b]:
+            got = 0
+            for j in range(19):
+                got = (got << 2) | int(codes[int(p) + j])
+            assert got == int(q)
