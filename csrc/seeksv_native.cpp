@@ -1756,4 +1756,133 @@ void seeksv_sw_global_batch(const int32_t* q, const int64_t* q_off,
   }
 }
 
+// v2 packed-index builder (align/index.py KmerIndex.build native form):
+// radix bucketing by the top `bits` of the 2k-bit rolling hash + tiny
+// per-bucket sorts replace the python path's full 8-byte-key mergesort
+// (O(n log n) over gigabytes; >1h at 500 Mbp) with ~2 streaming passes:
+//   A. per-thread histograms of bucket ids over chromosome-chunked
+//      rolling hashes (k-1 overlap keeps the chunks independent),
+//   B. per-thread pre-offset scatter of (low-bit residual, position)
+//      into bucket slots (thread t's genome range precedes t+1's, so
+//      within-bucket entries land in genome order),
+//   C. parallel per-bucket sort of (residual, position) pairs — equal
+//      hashes keep genome order because positions are unique, matching
+//      the python builder's stable argsort exactly.
+// keys_low/positions must have capacity sum(len_c - k + 1); returns the
+// number of valid kmers written; ptab has (1<<bits)+1 entries.
+int64_t seeksv_index_build(const uint8_t* ref, const int64_t* starts,
+                           int32_t n_chrom, int32_t k, int32_t bits,
+                           uint16_t* keys_low, uint32_t* positions,
+                           int64_t* ptab, int32_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = (int32_t)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  const int32_t shift = 2 * k - bits;   // residual bits (<=16 for u16)
+  const uint64_t mask2k = (2 * k < 64) ? ((1ull << (2 * k)) - 1) : ~0ull;
+  const uint64_t low_mask = shift > 0 ? ((1ull << shift) - 1) : 0ull;
+  const int64_t nb = 1ll << bits;
+  // chunk list: (chrom_lo, seg_lo, seg_hi) — kmer START positions in
+  // [seg_lo, seg_hi) with the full kmer inside the chromosome
+  struct Seg { int64_t c_lo, lo, hi; };
+  std::vector<Seg> segs;
+  for (int32_t c = 0; c < n_chrom; c++) {
+    const int64_t c_lo = starts[c], c_hi = starts[c + 1];
+    if (c_hi - c_lo < k) continue;
+    const int64_t total = c_hi - c_lo - k + 1;
+    const int64_t per = (total + n_threads - 1) / n_threads;
+    for (int64_t s = 0; s < total; s += per)
+      segs.push_back({c_lo, c_lo + s, c_lo + std::min(s + per, total)});
+  }
+  const int32_t T = n_threads;
+  std::vector<std::vector<int64_t>> hist(T);
+  for (auto& h : hist) h.assign(nb, 0);
+
+  auto roll = [&](const Seg& sg, auto&& emit) {
+    // rolling hash over kmer starts [sg.lo, sg.hi); ambiguity tracked
+    // with a run counter like the seeding kernels
+    uint64_t h = 0;
+    int32_t run_valid = 0;
+    const int64_t first_base = sg.lo;
+    for (int64_t i = first_base; i < sg.hi + k - 1; i++) {
+      const uint8_t cc = ref[i];
+      if (cc > 3) {
+        run_valid = 0;
+        h = 0;
+      } else {
+        h = ((h << 2) | cc) & mask2k;
+        if (run_valid < k) run_valid++;
+      }
+      const int64_t p = i - k + 1;   // kmer start for window ending at i
+      if (p < sg.lo || p >= sg.hi) continue;
+      if (run_valid >= k) emit(p, h);
+    }
+  };
+
+  auto phase_a = [&](int32_t t) {
+    auto& hh = hist[t];
+    for (size_t s = t; s < segs.size(); s += T)
+      roll(segs[s], [&](int64_t, uint64_t h) { hh[h >> shift]++; });
+  };
+  {
+    std::vector<std::thread> ths;
+    for (int32_t t = 0; t < T; t++) ths.emplace_back(phase_a, t);
+    for (auto& th : ths) th.join();
+  }
+  // ptab = exclusive scan over summed histograms; per-(bucket, thread)
+  // cursors give each thread disjoint slots in genome order.
+  // NOTE segs are interleaved across threads (s % T), so slot order
+  // within a bucket is NOT globally genome-ordered across threads —
+  // harmless: phase C sorts each bucket by (residual, position) anyway.
+  std::vector<std::vector<int64_t>> cur(T);
+  for (auto& cvec : cur) cvec.assign(nb, 0);
+  int64_t acc = 0;
+  for (int64_t b = 0; b < nb; b++) {
+    ptab[b] = acc;
+    for (int32_t t = 0; t < T; t++) {
+      const int64_t cnt = hist[t][b];
+      cur[t][b] = acc;
+      acc += cnt;
+    }
+  }
+  ptab[nb] = acc;
+  auto phase_b = [&](int32_t t) {
+    auto& cvec = cur[t];
+    for (size_t s = t; s < segs.size(); s += T)
+      roll(segs[s], [&](int64_t p, uint64_t h) {
+        const int64_t slot = cvec[h >> shift]++;
+        keys_low[slot] = (uint16_t)(h & low_mask);
+        positions[slot] = (uint32_t)p;
+      });
+  };
+  {
+    std::vector<std::thread> ths;
+    for (int32_t t = 0; t < T; t++) ths.emplace_back(phase_b, t);
+    for (auto& th : ths) th.join();
+  }
+  // phase C: per-bucket (residual, position) sort
+  auto phase_c = [&](int32_t t) {
+    std::vector<uint64_t> tmp;
+    for (int64_t b = t; b < nb; b += T) {
+      const int64_t lo = ptab[b], hi = ptab[b + 1];
+      const int64_t n = hi - lo;
+      if (n <= 1) continue;
+      tmp.resize(n);
+      for (int64_t i = 0; i < n; i++)
+        tmp[i] = ((uint64_t)keys_low[lo + i] << 32) | positions[lo + i];
+      std::sort(tmp.begin(), tmp.end());
+      for (int64_t i = 0; i < n; i++) {
+        keys_low[lo + i] = (uint16_t)(tmp[i] >> 32);
+        positions[lo + i] = (uint32_t)tmp[i];
+      }
+    }
+  };
+  {
+    std::vector<std::thread> ths;
+    for (int32_t t = 0; t < T; t++) ths.emplace_back(phase_c, t);
+    for (auto& th : ths) th.join();
+  }
+  return acc;
+}
+
 }  // extern "C"

@@ -71,13 +71,15 @@ class KmerIndex:
                 else (np.uint32 if shift <= 32 else np.uint64))
 
     @classmethod
-    def build_prefix_tab(cls, keys_full: np.ndarray, k: int) -> np.ndarray:
+    def build_prefix_tab(cls, keys_full: np.ndarray, k: int,
+                         bits: int = None) -> np.ndarray:
         """Bucket-start table over the top bits of the 2k-bit hash:
         prefix_tab[p] = first index in keys whose prefix >= p.  Bounds
         every key lookup to one bucket (~1-8 entries) instead of a
         27-level binary search over the full table.  Takes the FULL
         sorted hashes (build-time only; the stored index keeps low bits)."""
-        bits = cls._bits(k, len(keys_full))
+        if bits is None:
+            bits = cls._bits(k, len(keys_full))
         shift = max(0, 2 * k - bits)
         nb = 1 << bits
         prefixes = (np.arange(nb, dtype=np.uint64) << np.uint64(shift))
@@ -112,11 +114,24 @@ class KmerIndex:
         if len(ref) >= (1 << 32):
             raise ValueError("v2 index positions are uint32; reference "
                              "over 4.29 Gbp is not supported")
+        # native radix-bucketed builder (csrc seeksv_index_build): ~2
+        # streaming passes instead of an n-log-n mergesort over 8-byte
+        # hashes (>1h at 500 Mbp in numpy); identical layout/order —
+        # the numpy path below is the oracle (tests/test_align.py)
+        cap = int(np.maximum(np.diff(starts) - k + 1, 0).sum())
+        bits = cls._bits(k, cap)
+        if 0 < 2 * k - bits <= 16 and len(ref):
+            from ..io import native
+            if native.index_build_available():
+                keys_low, pos32, ptab = native.index_build_native(
+                    ref, starts, k, bits)
+                return cls(k, ref, names, starts, keys_low, pos32, ptab)
         keys, positions = cls._hash_all(ref, starts, k)
         order = np.argsort(keys, kind="stable")
         keys_full = keys[order]
-        ptab = cls.build_prefix_tab(keys_full, k)
-        return cls(k, ref, names, starts, cls.pack_keys(keys_full, k),
+        ptab = cls.build_prefix_tab(keys_full, k, bits)
+        return cls(k, ref, names, starts,
+                   cls.pack_keys(keys_full, k, bits),
                    positions[order].astype(np.uint32), ptab)
 
     @staticmethod

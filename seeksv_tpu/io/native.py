@@ -192,6 +192,15 @@ def _load() -> Optional[ctypes.CDLL]:
                         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
                         ctypes.c_int32, p64, p32, p32, p32, p32,
                         ctypes.c_int32]
+                if hasattr(lib, "seeksv_index_build"):
+                    p64 = ctypes.POINTER(ctypes.c_int64)
+                    lib.seeksv_index_build.restype = ctypes.c_int64
+                    lib.seeksv_index_build.argtypes = [
+                        ctypes.POINTER(ctypes.c_uint8), p64,
+                        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                        ctypes.POINTER(ctypes.c_uint16),
+                        ctypes.POINTER(ctypes.c_uint32), p64,
+                        ctypes.c_int32]
                 if hasattr(lib, "seeksv_sw_global_batch"):
                     p32 = ctypes.POINTER(ctypes.c_int32)
                     p64 = ctypes.POINTER(ctypes.c_int64)
@@ -559,6 +568,38 @@ def seed_batch_native(idx, reads, max_occ: int, top: int,
         out[i] = [(int(diag[i, c]), int(qstart[i, c]), int(alen[i, c]),
                    int(votes[i, c])) for c in range(int(ncand[i]))]
     return out
+
+
+def index_build_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "seeksv_index_build")
+
+
+def index_build_native(ref_codes: np.ndarray, starts: np.ndarray, k: int,
+                       bits: int, n_threads: int = 0):
+    """Radix-bucketed v2 index build (csrc seeksv_index_build): returns
+    (keys_low uint16, positions uint32, prefix_tab int64) with the same
+    layout/order as the numpy builder (equivalence asserted by
+    tests/test_align.py).  Requires residual bits <= 16 (production
+    prefix widths); callers fall back to numpy otherwise."""
+    lib = _load()
+    ref_codes = np.ascontiguousarray(ref_codes, np.uint8)
+    starts = np.ascontiguousarray(starts, np.int64)
+    cap = int(np.maximum(np.diff(starts) - k + 1, 0).sum())
+    keys = np.empty(max(cap, 1), np.uint16)
+    positions = np.empty(max(cap, 1), np.uint32)
+    nb = 1 << bits
+    ptab = np.empty(nb + 1, np.int64)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    n = lib.seeksv_index_build(
+        ref_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        starts.ctypes.data_as(p64), len(starts) - 1, k, bits,
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        positions.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ptab.ctypes.data_as(p64), n_threads)
+    if n == cap:
+        return keys, positions, ptab
+    return keys[:n].copy(), positions[:n].copy(), ptab
 
 
 def sw_global_batch_available() -> bool:

@@ -210,3 +210,43 @@ def test_v2_index_uint16_layout_at_scale():
             for j in range(19):
                 got = (got << 2) | int(codes[int(p) + j])
             assert got == int(q)
+
+
+def test_native_index_build_matches_numpy():
+    """csrc seeksv_index_build (radix-bucketed) vs the numpy builder:
+    identical keys/positions/prefix arrays, including ambiguous-base
+    exclusion and multi-chromosome boundaries."""
+    import numpy as np
+
+    from seeksv_tpu.align.index import ENCODE, KmerIndex
+    from seeksv_tpu.io import native
+    if not native.index_build_available():
+        import pytest
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(8)
+    bases = np.frombuffer(b"ACGTN", np.uint8)
+    seqs = {}
+    for c in range(3):
+        g = bases[rng.integers(0, 4, 2_200_000 if c == 0 else 5_000)]
+        g[rng.random(len(g)) < 0.001] = ord("N")   # ambiguity sprinkles
+        seqs[f"c{c}"] = g
+    idx = KmerIndex.build(seqs, k=19)   # dispatches to native
+    # numpy oracle with identical bits
+    names = list(seqs)
+    starts = np.zeros(len(names) + 1, np.int64)
+    parts = []
+    for i, n in enumerate(names):
+        parts.append(ENCODE[seqs[n]])
+        starts[i + 1] = starts[i] + len(parts[-1])
+    ref = np.concatenate(parts)
+    cap = int(np.maximum(np.diff(starts) - 19 + 1, 0).sum())
+    bits = KmerIndex._bits(19, cap)
+    keys, positions = KmerIndex._hash_all(ref, starts, 19)
+    order = np.argsort(keys, kind="stable")
+    kf = keys[order]
+    ptab = KmerIndex.build_prefix_tab(kf, 19, bits)
+    np.testing.assert_array_equal(np.asarray(idx.prefix_tab), ptab)
+    np.testing.assert_array_equal(np.asarray(idx.keys),
+                                  KmerIndex.pack_keys(kf, 19, bits))
+    np.testing.assert_array_equal(np.asarray(idx.positions),
+                                  positions[order].astype(np.uint32))
