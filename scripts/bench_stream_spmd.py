@@ -34,6 +34,8 @@ def main():
                          "(e.g. 1,2,4,8; the virtual device count is the "
                          "max); sequential baseline measured once")
     ap.add_argument("--chunk-records", type=int, default=2_000_000)
+    ap.add_argument("--trials", type=int, default=2,
+                    help="best-of-N per configuration (both sides)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     sweep = ([int(x) for x in args.sweep.split(",")] if args.sweep
@@ -67,11 +69,14 @@ def main():
     fa = os.path.join(root, "ref.fa")
 
     with tempfile.TemporaryDirectory() as d:
-        t0 = time.time()
-        seq_prefix = os.path.join(d, "seq")
-        run_pipeline_streaming(fa, bam, seq_prefix,
-                               chunk_records=args.chunk_records)
-        t_seq = time.time() - t0
+        seq_totals = []
+        for _ in range(max(1, args.trials)):
+            t0 = time.time()
+            seq_prefix = os.path.join(d, "seq")
+            run_pipeline_streaming(fa, bam, seq_prefix,
+                                   chunk_records=args.chunk_records)
+            seq_totals.append(round(time.time() - t0, 2))
+        t_seq = min(seq_totals)
         want = sv_rows(seq_prefix + ".sv")
 
         all_exact = True
@@ -81,14 +86,18 @@ def main():
                 mesh = Mesh(devs.reshape(nd // 2, 2), ("dp", "gp"))
             else:
                 mesh = Mesh(devs.reshape(nd, 1), ("dp", "gp"))
-            t0 = time.time()
-            spmd_prefix = os.path.join(d, f"spmd{nd}")
-            stages = {}
-            spmd_run_pipeline_streaming(
-                mesh, fa, bam, spmd_prefix,
-                chunk_records=args.chunk_records, stages_out=stages,
-                log=lambda *a: print("#", *a, file=sys.stderr, flush=True))
-            t_spmd = time.time() - t0
+            spmd_totals = []
+            for _ in range(max(1, args.trials)):
+                t0 = time.time()
+                spmd_prefix = os.path.join(d, f"spmd{nd}")
+                stages = {}
+                spmd_run_pipeline_streaming(
+                    mesh, fa, bam, spmd_prefix,
+                    chunk_records=args.chunk_records, stages_out=stages,
+                    log=lambda *a: print("#", *a, file=sys.stderr,
+                                         flush=True))
+                spmd_totals.append(round(time.time() - t0, 2))
+            t_spmd = min(spmd_totals)
 
             ours = sv_rows(spmd_prefix + ".sv")
             parity = "exact" if ours == want else "MISMATCH"
@@ -106,6 +115,9 @@ def main():
                 "sequential_stream_s": round(t_seq, 1),
                 "spmd_stream_s": round(t_spmd, 1),
                 "speedup_vs_sequential": round(t_seq / t_spmd, 3),
+                "trials": max(1, args.trials),
+                "seq_totals_s": seq_totals,
+                "spmd_totals_s": spmd_totals,
                 "spmd_stages_s": stages,
                 "peak_rss_mb": round(peak_rss_mb, 1),
                 "jax_platform": jax.devices()[0].platform,

@@ -322,17 +322,19 @@ class SpmdStreamStats:
         val = np.concatenate(self._pend_val)
         self._pend_pts, self._pend_val, self._pend_n = [], [], 0
         shard = pts // self._g_local
-        order = np.argsort(shard, kind="stable")
-        pts, val, shard = pts[order], val[order], shard[order]
+        # counting placement, not a comparison sort: ndev is tiny, so
+        # per-shard masked copies beat an argsort over tens of millions
+        # of keys by ~10x (order within a shard is irrelevant to +=)
         cnt = np.bincount(shard, minlength=ndev)
         K = _pow2_bucket(int(cnt.max(initial=1)))
         idxp = np.full(ndev * K, self._g_local, np.int32)  # pad: spill slot
         valp = np.zeros(ndev * K, np.int32)
-        dst = np.repeat(np.arange(ndev, dtype=np.int64) * K, cnt) + \
-            (np.arange(len(pts)) -
-             np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt))
-        idxp[dst] = (pts - shard * self._g_local).astype(np.int32)
-        valp[dst] = val
+        for s in range(ndev):
+            sel = shard == s
+            n_s = int(cnt[s])
+            idxp[s * K:s * K + n_s] = \
+                (pts[sel] - s * self._g_local).astype(np.int32)
+            valp[s * K:s * K + n_s] = val[sel]
         self._acc = self._update(
             self._acc, jax.device_put(idxp, self._seg_sharding),
             jax.device_put(valp, self._seg_sharding))
