@@ -145,10 +145,20 @@ def run_config(cfg, bin_dir):
             subprocess.run([f"{d}/bwa", "mem", f"{d}/ref.fa",
                             f"{d}/ref_p.clip.fq.gz"], check=True, stdout=f,
                            stderr=subprocess.DEVNULL)
-        subprocess.run([f"{d}/seeksv", "getsv", f"{d}/ref_p.clip.sam",
-                        f"{d}/sim.bam", f"{d}/ref_p.clip.gz",
-                        f"{d}/ref_p.sv", f"{d}/ref_p.r.fq"], check=True,
-                       capture_output=True)
+        # the oracle binary fails transiently on some hosts (same retry
+        # as tests/test_differential_fuzz.py); persistent failures are
+        # an oracle crash on this config — skip it rather than abort
+        for attempt in range(3):
+            r = subprocess.run(
+                [f"{d}/seeksv", "getsv", f"{d}/ref_p.clip.sam",
+                 f"{d}/sim.bam", f"{d}/ref_p.clip.gz",
+                 f"{d}/ref_p.sv", f"{d}/ref_p.r.fq"], capture_output=True)
+            if r.returncode == 0:
+                break
+        else:
+            return {"cfg": cfg, "skipped":
+                    f"oracle getsv exit {r.returncode}: "
+                    f"{r.stderr.decode(errors='replace')[-200:]}"}
         # our pipeline (getclip is byte-identical; reuse its outputs for a
         # controlled aligner comparison)
         import io as _io
@@ -216,15 +226,20 @@ def main():
         configs = configs[:2]
     bad = 0
     results = []
+    skipped = []
     for cfg in configs:
         r = run_config(cfg, BIN_DIR)
-        results.append(r)
         print(json.dumps(r), flush=True)
+        if "skipped" in r:
+            skipped.append(r)
+            continue
+        results.append(r)
         if not r["sv_calls_equal"]:
             bad += 1
     print(json.dumps({
         "summary": "aligner-margin fuzz",
         "configs": len(results),
+        "skipped_oracle_crash": len(skipped),
         "sv_exact": sum(r["sv_exact"] for r in results),
         "sv_calls_equal": sum(r["sv_calls_equal"] for r in results),
         "min_class_agree": min(r["class_agree"] for r in results),
