@@ -1437,31 +1437,51 @@ static int64_t sw_global_banded(const int32_t* query, int64_t m,
 //
 // Long pairs (min(m, n) > 256 — only the long-fragment regime; every
 // sound-regime fragment keeps the bit-identical full DP) run a banded
-// LADDER: rungs w = 16, 64, 256; the first adjacent rung pair with equal
-// score accepts the smaller rung's traceback, else full DP.  The ladder
-// is the committed spec, implemented identically by the python oracle
-// (align/sw.py global_align_np) — at long-fragment divergence the first
-// rung is optimal and the finalize stage drops ~8x in cells.
+// LADDER: rungs w = 16, 64, 256.  A rung is accepted when either
+//   (a) SOUND band-sufficiency: any path leaving band w deviates by
+//       >= w+1 diagonals, hence carries >= 2 gap runs totalling
+//       >= |n-m| + 2(w+1) gap columns and at most min(m,n) - (w+1)
+//       diagonal columns, so its score is bounded by
+//         kMatch*(min(m,n)-(w+1)) - 2*kGapOpen - (|n-m|+2(w+1))*kGapExt;
+//       a banded score >= that ceiling IS the global optimum score
+//       (the emitted traceback is one optimal-score path; tie-breaks
+//       among equal-score paths may differ from the full-DP choice), or
+//   (b) HEURISTIC: two adjacent rungs report equal scores (emit the
+//       smaller rung's traceback).  Equal constrained optima do not
+//       prove band sufficiency, so (b) can in principle emit a
+//       suboptimal score/CIGAR without falling through to full DP
+//       (ADVICE r4) — it is kept as a fallback for the high-divergence
+//       regime where (a)'s ceiling is unreachable, and the python
+//       oracle implements the identical acceptance order.
+// Otherwise full DP.  At long-fragment divergence rung 16 or 64
+// accepts and the finalize stage drops ~8x in cells.
 int64_t seeksv_sw_global(const int32_t* query, int64_t m,
                          const int32_t* target, int64_t n,
                          int32_t* score_out, int32_t* cig_len,
                          uint8_t* cig_op) {
   if ((m > 256 && n > 256)) {
     static const int64_t rungs[3] = {16, 64, 256};
+    const int64_t mn = m < n ? m : n;
+    const int64_t ad = m < n ? n - m : m - n;
     std::vector<int32_t> plen(m + n);
     std::vector<uint8_t> pop(m + n);
     int32_t psc = 0;
     int64_t pnc = -1;
     for (int r = 0; r < 3; r++) {
       int32_t sc = 0;
-      int64_t nc = (r == 0)
-          ? (pnc = sw_global_banded(query, m, target, n, rungs[0], &psc,
-                                    plen.data(), pop.data()))
-          : sw_global_banded(query, m, target, n, rungs[r], &sc,
-                             cig_len, cig_op);
-      if (r == 0) continue;
-      if (pnc >= 0 && nc >= 0 && sc == psc) {
-        // stabilized: emit the SMALLER rung's traceback
+      int64_t nc = sw_global_banded(query, m, target, n, rungs[r], &sc,
+                                    cig_len, cig_op);
+      if (nc >= 0) {
+        const int64_t ceiling = kMatch * (mn - (rungs[r] + 1)) -
+                                2 * kGapOpen -
+                                (ad + 2 * (rungs[r] + 1)) * kGapExt;
+        if ((int64_t)sc >= ceiling) {  // sound acceptance (a)
+          *score_out = sc;
+          return nc;
+        }
+      }
+      if (r > 0 && pnc >= 0 && nc >= 0 && sc == psc) {
+        // heuristic acceptance (b): emit the SMALLER rung's traceback
         std::copy(plen.begin(), plen.begin() + pnc, cig_len);
         std::copy(pop.begin(), pop.begin() + pnc, cig_op);
         *score_out = psc;

@@ -391,6 +391,12 @@ class BatchAligner(Aligner):
 
     def _device_ref_packed(self):
         ref = self.idx.ref
+        # id(ref) alone is unsafe as a cache key: after the first ref is
+        # garbage-collected a different genome can be reallocated at the
+        # same address with the same length and silently hit the stale
+        # HBM upload (ADVICE r4).  The entry therefore holds a strong
+        # reference to the host array, so its id cannot be reused while
+        # the entry is alive; the mmap path keys on the backing filename.
         key = (getattr(ref, "filename", None) or id(ref), len(ref))
         ent = self._DEVICE_REF_CACHE.get(key)
         if ent is None:
@@ -399,10 +405,10 @@ class BatchAligner(Aligner):
             if len(r) % 2:
                 r = np.concatenate([r, np.full(1, 4, np.uint8)])
             packed = (r[0::2] | (r[1::2] << 4)).astype(np.uint8)
-            ent = (jax.device_put(packed), len(ref))
+            ent = (jax.device_put(packed), len(ref), ref)
             self._DEVICE_REF_CACHE.clear()
             self._DEVICE_REF_CACHE[key] = ent
-        return ent
+        return ent[0], ent[1]
     # Host/device dispatch threshold in DP cells: below it the device
     # round-trip costs more than the kernel win, so the host kernels run
     # (both paths are exact-equivalent, tests/test_align.py).  The value
@@ -513,8 +519,24 @@ class BatchAligner(Aligner):
             log("# calibrate_dispatch.py not found; keeping stale values")
             return False
         log("# re-running dispatch calibration on this host+device pair…")
-        subprocess.run([_sys.executable, script, "--out",
-                        cls._calibration_path()], check=True)
+        # The probe matmuls hang when the accelerator tunnel wedges
+        # (10-20 min outages observed); a wedged calibration must not
+        # block the whole pipeline, so bound it and fall back to the
+        # committed crossover values on timeout/failure (ADVICE r4).
+        timeout_s = float(os.environ.get(
+            "SEEKSV_TPU_CALIBRATE_TIMEOUT_S", "600"))
+        try:
+            proc = subprocess.run(
+                [_sys.executable, script, "--out", cls._calibration_path()],
+                timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            log(f"# calibration timed out after {timeout_s:.0f}s "
+                "(wedged backend?); keeping committed crossover values")
+            return False
+        if proc.returncode != 0:
+            log(f"# calibration exited rc={proc.returncode}; "
+                "keeping committed crossover values")
+            return False
         cls._load_calibration.cache_clear()
         log(f"# new crossover: {cls._calibrated_min_device_cells()} cells")
         return True

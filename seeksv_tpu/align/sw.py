@@ -294,10 +294,18 @@ def global_align_np(query: np.ndarray, target: np.ndarray,
     """Pure-numpy reference implementation of global_align.
 
     Long pairs (min(m, n) > 256 — only the long-fragment regime) run the
-    banded LADDER spec (rungs 16/64/256: first adjacent pair with equal
-    score emits the smaller rung's traceback, else full DP) — identical
-    to csrc seeksv_sw_global; equivalence asserted by
-    tests/test_native.py."""
+    banded LADDER spec (rungs 16/64/256), identical to csrc
+    seeksv_sw_global; equivalence asserted by tests/test_native.py.
+    A rung is accepted when either (a) SOUND band-sufficiency holds —
+    any path leaving band w has >= 2 gap runs totalling >= |n-m|+2(w+1)
+    gap columns and at most min(m,n)-(w+1) diagonal columns, so a
+    banded score >= MATCH*(min(m,n)-(w+1)) - 2*GAP_OPEN -
+    (|n-m|+2(w+1))*GAP_EXT is the global optimum score — or (b) the
+    HEURISTIC: two adjacent rungs report equal scores (smaller rung's
+    traceback emitted; equal constrained optima do not prove band
+    sufficiency, so (b) can emit a suboptimal score/CIGAR — documented
+    fallback for the high-divergence regime, ADVICE r4).  Else full
+    DP."""
     m, n = len(query), len(target)
     if m == 0 and n == 0:
         return 0, []
@@ -306,11 +314,16 @@ def global_align_np(query: np.ndarray, target: np.ndarray,
     if n == 0:
         return -GAP_OPEN - m * GAP_EXT, [(m, "I")]
     if m > 256 and n > 256:
-        prev = _global_banded_np(query, target, 16)
-        for rung in (64, 256):
+        mn, ad = min(m, n), abs(m - n)
+        prev = None
+        for rung in (16, 64, 256):
             cur = _global_banded_np(query, target, rung)
-            if cur[0] == prev[0]:
-                return prev
+            ceiling = (MATCH * (mn - (rung + 1)) - 2 * GAP_OPEN
+                       - (ad + 2 * (rung + 1)) * GAP_EXT)
+            if cur[0] >= ceiling:          # sound acceptance (a)
+                return cur
+            if prev is not None and cur[0] == prev[0]:
+                return prev                # heuristic acceptance (b)
             prev = cur
     H = np.full((m + 1, n + 1), NEG_INF, np.int64)
     E = np.full((m + 1, n + 1), NEG_INF, np.int64)  # gap in query (D: target consumed)

@@ -264,12 +264,21 @@ def _exchange_boundary_groups(part, name2id, pid, nproc, log):
         """(initial_last, seam_overrides) from the CURRENT on-disk files
         (post-move when moves applied)."""
         lines2, _fq2 = _parse_clip_fq(part)
-        starts = []   # (line_idx, tid, side)
-        for i, ln in enumerate(lines2):
-            f = ln.split(b"\t")
+        # seam_overrides are consumed by iter_soft_groups keyed on ITS
+        # data-line counter, which whitespace-splits and skips lines
+        # with <9 fields — mirror that parse exactly here, or any
+        # skipped/collapsed line desynchronizes the two indices and a
+        # seam override lands on the wrong group (ADVICE r4).
+        starts = []   # (iter_soft_groups li, tid, side)
+        li2 = -1
+        for ln in lines2:
+            f = ln.split()
+            if len(f) < 9:
+                continue
+            li2 += 1
             m = (name2id[f[0].decode()], 0 if f[2] == b"5" else 1)
             if not starts or (starts[-1][1], starts[-1][2]) != m:
-                starts.append((i, m[0], m[1]))
+                starts.append((li2, m[0], m[1]))
         initial_last = None
         overrides = {}
         for k, (i, tid, side) in enumerate(starts):

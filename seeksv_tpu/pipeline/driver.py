@@ -68,32 +68,31 @@ def write_sam_records(aligner, seqs, quals, alns, out) -> None:
     import numpy as np
 
     from ..align.engine import _RC
-    if True:
-        for seq, qual, a in zip(seqs, quals, alns):
-            qn = seq.decode()
-            if not a.mapped:
-                out.write(f"{qn}\t4\t*\t0\t0\t*\t*\t0\t0\t{qn}\t{qual}\n")
-                continue
-            oseq, oq = qn, qual
-            if a.strand:
-                oseq = bytes(_RC[np.frombuffer(seq, np.uint8)][::-1]).decode()
-                oq = qual[::-1]
-            out.write(f"{qn}\t{16 if a.strand else 0}\t"
-                      f"{aligner.idx.chrom_names[a.tid]}\t{a.pos + 1}\t"
-                      f"{a.mapq}\t{_cigar_str(a.cigar)}\t*\t0\t0\t{oseq}\t{oq}\n")
-            for s in (a.supp or []):
-                # chimeric split part (bwa supplementary, flag 0x800):
-                # hard-clipped, SEQ/QUAL restricted to the aligned span
-                sseq, sq = oseq, oq
-                if s.strand != a.strand:
-                    sseq = bytes(
-                        _RC[np.frombuffer(sseq.encode(),
-                                          np.uint8)][::-1]).decode()
-                    sq = sq[::-1]
-                out.write(f"{qn}\t{2048 | (16 if s.strand else 0)}\t"
-                          f"{aligner.idx.chrom_names[s.tid]}\t{s.pos + 1}\t"
-                          f"{s.mapq}\t{_cigar_str(s.cigar)}\t*\t0\t0\t"
-                          f"{sseq[s.qb:s.qe]}\t{sq[s.qb:s.qe]}\n")
+    for seq, qual, a in zip(seqs, quals, alns):
+        qn = seq.decode()
+        if not a.mapped:
+            out.write(f"{qn}\t4\t*\t0\t0\t*\t*\t0\t0\t{qn}\t{qual}\n")
+            continue
+        oseq, oq = qn, qual
+        if a.strand:
+            oseq = bytes(_RC[np.frombuffer(seq, np.uint8)][::-1]).decode()
+            oq = qual[::-1]
+        out.write(f"{qn}\t{16 if a.strand else 0}\t"
+                  f"{aligner.idx.chrom_names[a.tid]}\t{a.pos + 1}\t"
+                  f"{a.mapq}\t{_cigar_str(a.cigar)}\t*\t0\t0\t{oseq}\t{oq}\n")
+        for s in (a.supp or []):
+            # chimeric split part (bwa supplementary, flag 0x800):
+            # hard-clipped, SEQ/QUAL restricted to the aligned span
+            sseq, sq = oseq, oq
+            if s.strand != a.strand:
+                sseq = bytes(
+                    _RC[np.frombuffer(sseq.encode(),
+                                      np.uint8)][::-1]).decode()
+                sq = sq[::-1]
+            out.write(f"{qn}\t{2048 | (16 if s.strand else 0)}\t"
+                      f"{aligner.idx.chrom_names[s.tid]}\t{s.pos + 1}\t"
+                      f"{s.mapq}\t{_cigar_str(s.cigar)}\t*\t0\t0\t"
+                      f"{sseq[s.qb:s.qe]}\t{sq[s.qb:s.qe]}\n")
 
 
 def realign_clips(ref_fa: str, clip_fq: str, out_sam: str,

@@ -63,11 +63,15 @@ def test_ensure_calibration_reruns_script(tmp_path, monkeypatch, fake_tpu):
                "upload_probe_mb_s": None})
     calls = []
 
-    def fake_run(cmd, check):
+    def fake_run(cmd, timeout):
         calls.append(cmd)
         # the "recalibration" writes a now-matching artifact
         _write(p, {"device": "TPU v5 lite0", "platform": "tpu",
                    "upload_probe_mb_s": None})
+
+        class _Proc:
+            returncode = 0
+        return _Proc()
 
     import subprocess
     monkeypatch.setattr(subprocess, "run", fake_run)
@@ -77,6 +81,27 @@ def test_ensure_calibration_reruns_script(tmp_path, monkeypatch, fake_tpu):
     assert any("calibrate_dispatch.py" in c for c in calls[0])
     # second call: fingerprint now matches -> no rerun
     assert not BatchAligner.ensure_calibration(auto=True, log=logs.append)
+
+
+def test_ensure_calibration_timeout_falls_back(tmp_path, monkeypatch,
+                                               fake_tpu):
+    # A wedged backend must not block the pipeline: the recalibration
+    # subprocess is bounded and a timeout keeps the committed values
+    # (ADVICE r4).
+    p = tmp_path / "cal.json"
+    monkeypatch.setenv("SEEKSV_TPU_DISPATCH_CALIB", str(p))
+    _write(p, {"device": "TPU v99 mega9", "platform": "tpu",
+               "upload_probe_mb_s": None})
+    import subprocess
+
+    def fake_run(cmd, timeout):
+        raise subprocess.TimeoutExpired(cmd, timeout)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    logs = []
+    assert not BatchAligner.ensure_calibration(auto=True, log=logs.append)
+    assert any("timed out" in str(m) for m in logs)
+    BatchAligner._load_calibration.cache_clear()
 
 
 def test_no_accel_never_stale(tmp_path, monkeypatch):
