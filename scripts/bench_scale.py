@@ -201,6 +201,18 @@ def sv_rows(path):
         return [ln for ln in f if not ln.startswith("@")]
 
 
+def gz_sha(path):
+    """sha256 of the DECOMPRESSED stream (gzip container bytes differ
+    between writers; byte parity is defined on the payload)."""
+    import gzip
+    import hashlib
+    h = hashlib.sha256()
+    with gzip.open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def sv_recall(truth, rows):
     """(del_recall, virus_junction_recall) of an sv.txt row list against
     the embedded truth; +-50bp fuzzy match, the reference's own
@@ -234,6 +246,160 @@ def sv_recall(truth, rows):
                         t["up_chrom"], t["right_down"])
         vr = round(vhit / (2 * len(vints)), 4)
     return dr, vr
+
+
+def run_ab(args, root):
+    """Three-arm A/B in ONE process/session (VERDICT r4 #1): per trial,
+    back-to-back (a) calibrated-dispatch arm, (b) forced-host arm,
+    (c) reference binaries — interleaved so host-load drift hits all
+    arms equally; same jax platform pin for both our arms.  Emits one
+    JSON row per our-arm, each carrying the shared session summary,
+    per-arm sv parity vs the reference AND clip.gz/clip.fq.gz byte
+    parity (sha256 of the decompressed streams — PARITY.md §8: clip
+    parity holds even in the long-fragment oracle-defect regime)."""
+    import resource
+    import uuid
+
+    arm_force = {"device": False, "forced_host": True}
+    best = {k: None for k in arm_force}
+    totals = {k: [] for k in arm_force}
+    svs = {}
+    clip_sha = {}
+    n = None
+    ref_stages = None
+    ref_totals = []
+    ref_sv = None
+    ref_clip = None
+    for t in range(max(1, args.trials)):
+        for name, fh in arm_force.items():
+            with tempfile.TemporaryDirectory() as d2:
+                n, st = run_ours(root, d2, stream=args.stream,
+                                 chunk_records=args.chunk_records,
+                                 device_align=args.device_align,
+                                 force_host=fh)
+                totals[name].append(round(st["total"], 3))
+                if best[name] is None or st["total"] < best[name]["total"]:
+                    best[name] = st
+                if t == 0:
+                    p = os.path.join(d2, "ours")
+                    svs[name] = sv_rows(f"{p}.sv")
+                    clip_sha[name] = (gz_sha(f"{p}.clip.gz"),
+                                      gz_sha(f"{p}.clip.fq.gz"))
+        with tempfile.TemporaryDirectory() as dref:
+            st = run_reference(root, dref)
+            ref_totals.append(round(st["total"], 3))
+            if ref_stages is None or st["total"] < ref_stages["total"]:
+                ref_stages = st
+            if t == 0:
+                p = os.path.join(dref, "ref")
+                ref_sv = sv_rows(f"{p}.sv")
+                ref_clip = (gz_sha(f"{p}.clip.gz"),
+                            gz_sha(f"{p}.clip.fq.gz"))
+        print(f"# trial {t + 1}/{args.trials}: "
+              f"device {totals['device'][-1]}s, "
+              f"forced_host {totals['forced_host'][-1]}s, "
+              f"reference {ref_totals[-1]}s", file=sys.stderr)
+
+    truth = None
+    tpath = os.path.join(root, "truth.json")
+    if os.path.exists(tpath):
+        with open(tpath) as f:
+            truth = json.load(f)
+    ref_truth_recall = ref_virus_recall = None
+    if truth is not None:
+        ref_truth_recall, ref_virus_recall = sv_recall(truth, ref_sv)
+    calls = lambda rows: sorted(tuple(r.split("\t")[:8]) for r in rows)
+    try:
+        import jax
+        platform = jax.devices()[0].platform
+        device = str(jax.devices()[0])
+    except Exception:
+        platform = device = None
+    session = uuid.uuid4().hex[:12]
+    ab = {
+        "session": session,
+        "trial_order": "interleaved per trial: device, forced_host, "
+                       "reference (one process, one platform pin)",
+        "device_best_s": round(best["device"]["total"], 3),
+        "forced_host_best_s": round(best["forced_host"]["total"], 3),
+        "ref_best_s": round(ref_stages["total"], 3),
+        "device_vs_forced_host": round(
+            best["forced_host"]["total"] / best["device"]["total"], 4),
+        "device_vs_reference": round(
+            ref_stages["total"] / best["device"]["total"], 4),
+        "arms_sv_identical": svs["device"] == svs["forced_host"],
+    }
+    ok = True
+    for name in arm_force:
+        st = dict(best[name])
+        al = st.pop("aligner", {})
+        dispatch = st.pop("dispatch", None)
+        dev_s = al.get("device_extend_s", 0.0)
+        host_s = al.get("host_extend_s", 0.0)
+        exact = svs[name] == ref_sv
+        calls_equal = calls(svs[name]) == calls(ref_sv)
+        parity = ("exact" if exact
+                  else ("calls-equal" if calls_equal else "MISMATCH"))
+        if parity == "MISMATCH" and args.expect_ref_defect:
+            parity = "ref-defect-qname-truncation"
+        clip_parity = "exact" if clip_sha[name] == ref_clip else "MISMATCH"
+        tr = vr = None
+        if truth is not None:
+            tr, vr = sv_recall(truth, svs[name])
+        rps = n / st["total"]
+        ref_rps = n / ref_stages["total"]
+        result = {
+            "metric": "scale_full_pipeline_reads_per_s",
+            "value": round(rps, 1), "unit": "reads/s", "n_records": n,
+            "genome_mb": args.genome_mb, "coverage": args.coverage,
+            "read_len": args.read_len, "stream": args.stream,
+            "arm": name, "ab": ab,
+            "parity": parity, "clip_parity": clip_parity,
+            "truth_del_recall": tr, "virus_junction_recall": vr,
+            "ref_truth_del_recall": ref_truth_recall,
+            "ref_virus_junction_recall": ref_virus_recall,
+            "virus": ({"kb": args.virus_kb, "events": args.virus_events,
+                       "divergence": args.virus_divergence}
+                      if args.virus_kb else None),
+            "peak_rss_mb": round(resource.getrusage(
+                resource.RUSAGE_SELF).ru_maxrss / 1024, 1),
+            "ours_stages_s": {k: round(v, 3) for k, v in st.items()},
+            "aligner_stages_s": al,
+            "realign_device_fraction": round(
+                dev_s / max(dev_s + host_s + al.get("seed_s", 0)
+                            + al.get("finalize_s", 0), 1e-9), 4),
+            "device_s_total": round(dev_s, 3),
+            "device_fraction_total": round(
+                dev_s / max(st["total"], 1e-9), 4),
+            "jax_platform": platform, "jax_device": device,
+            "force_device_extend": False,
+            "force_host_extend": arm_force[name],
+            "dispatch": dispatch,
+            "trials": max(1, args.trials),
+            "ours_totals_s": totals[name],
+            "ours_stddev_s": round(float(np.std(totals[name])), 3),
+            "vs_baseline": round(rps / ref_rps, 4),
+            "ref_stages_s": {k: round(v, 3)
+                             for k, v in ref_stages.items()},
+            "ref_trials": max(1, args.trials),
+            "ref_totals_s": ref_totals,
+            "ref_stddev_s": round(float(np.std(ref_totals)), 3),
+        }
+        line = json.dumps(result)
+        print(line)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(line + "\n")
+        if clip_parity != "exact":
+            ok = False
+        if parity == "MISMATCH":
+            ok = False
+        if parity == "ref-defect-qname-truncation" and (
+                (tr or 0) < 0.99 or (vr is not None and vr < 0.99)):
+            ok = False
+    if not ab["arms_sv_identical"]:
+        ok = False
+    sys.exit(0 if ok else 1)
 
 
 def main():
@@ -279,6 +445,12 @@ def main():
     ap.add_argument("--skip-reference", action="store_true",
                     help="skip the reference-binary head-to-head (no "
                          "parity check; for RSS/device-fraction runs)")
+    ap.add_argument("--ab", action="store_true",
+                    help="three-arm A/B in one session: per trial run "
+                         "device-dispatch, forced-host and reference "
+                         "back-to-back (same platform pin); emits one "
+                         "row per arm with a shared session summary and "
+                         "clip.gz byte-parity per arm")
     ap.add_argument("--out", default=None,
                     help="append the JSON result line to this file")
     ap.add_argument("--cpu-jax", action="store_true",
@@ -345,6 +517,9 @@ def main():
         print(f"# built k-mer index in {time.time() - t0:.0f}s "
               "(one-time, cached; excluded like bwa index)",
               file=sys.stderr)
+
+    if args.ab:
+        run_ab(args, root)   # exits
 
     with tempfile.TemporaryDirectory() as d:
         ref_stages = None
