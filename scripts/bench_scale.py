@@ -334,7 +334,8 @@ def run_ab(args, root):
         st = dict(best[name])
         al = st.pop("aligner", {})
         dispatch = st.pop("dispatch", None)
-        dev_s = al.get("device_extend_s", 0.0)
+        dev_s = (al.get("device_extend_s", 0.0)
+                 + al.get("device_finalize_s", 0.0))
         host_s = al.get("host_extend_s", 0.0)
         exact = svs[name] == ref_sv
         calls_equal = calls(svs[name]) == calls(ref_sv)
@@ -588,7 +589,8 @@ def main():
     ours_rps = n / ours["total"]
     al = ours.pop("aligner", {})
     dispatch = ours.pop("dispatch", None)
-    dev_s = al.get("device_extend_s", 0.0)
+    dev_s = (al.get("device_extend_s", 0.0)
+             + al.get("device_finalize_s", 0.0))
     host_s = al.get("host_extend_s", 0.0)
     try:
         import jax

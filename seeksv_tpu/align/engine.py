@@ -370,7 +370,8 @@ class BatchAligner(Aligner):
         # fraction of realignment runs on the device)
         self.timings: Dict[str, float] = {
             "seed_s": 0.0, "device_extend_s": 0.0, "host_extend_s": 0.0,
-            "finalize_s": 0.0}
+            "finalize_s": 0.0, "device_finalize_s": 0.0}
+        self._device_global_al = None
 
     def _device_seeder(self):
         if self._seeder is None:
@@ -581,7 +582,9 @@ class BatchAligner(Aligner):
                             (strand, final, final, tid, qb, qe, rb, rend))
                 t0 = _time.perf_counter()
                 out = self._finalize_many(per_read_codes, seqs,
-                                          results_by_read)
+                                          results_by_read,
+                                          force_device=force_device,
+                                          force_host=force_host)
                 self.timings["finalize_s"] += _time.perf_counter() - t0
                 return out
         cands = None
@@ -804,7 +807,9 @@ class BatchAligner(Aligner):
                     (strand, final, final, tid,
                      int(qb[k]), qe, int(rb[k]), rend))
         t0 = _time.perf_counter()
-        out = self._finalize_many(per_read_codes, seqs, results_by_read)
+        out = self._finalize_many(per_read_codes, seqs, results_by_read,
+                                  force_device=force_device,
+                                  force_host=force_host)
         self.timings["finalize_s"] += _time.perf_counter() - t0
         return out
 
@@ -815,11 +820,63 @@ class BatchAligner(Aligner):
         return self._parts_to_alignments(codes_pair, n,
                                          self._select_parts(results, n))
 
-    def _finalize_many(self, per_read_codes, seqs,
-                       results_by_read) -> List[Alignment]:
+    # Device-finalize crossover: estimated banded DP cells (phase A's
+    # two rungs, K = 128 + 256) below which the host ladder's threaded
+    # C++ wins against the device round-trip's fixed upload/launch
+    # cost.  Overridable via SEEKSV_TPU_FINALIZE_CROSSOVER_CELLS.
+    MIN_DEVICE_FINALIZE_CELLS = 150_000_000
+
+    @classmethod
+    def _min_device_finalize_cells(cls) -> int:
+        import os
+        v = os.environ.get("SEEKSV_TPU_FINALIZE_CROSSOVER_CELLS")
+        return int(v) if v else cls.MIN_DEVICE_FINALIZE_CELLS
+
+    def _maybe_device_finalize(self, qs, ts, force_device: bool):
+        """Route eligible long-fragment global tracebacks to the TPU
+        (ops.global_device): bit-identical score/CIGAR/NM for every job
+        it accepts; everything else stays on the native ladder.  Gated
+        on an accelerator being present and the eligible banded-cell
+        volume crossing the finalize crossover (the device pays a fixed
+        tunnel cost per batch)."""
+        import os
+        import time as _time
+
+        # SEEKSV_TPU_DEVICE_FINALIZE_ON_CPU: run the device-finalize jax
+        # path on the CPU backend (test/dryrun coverage of the exact
+        # code the chip runs; never a performance win)
+        if not os.environ.get("SEEKSV_TPU_DEVICE_FINALIZE_ON_CPU"):
+            try:
+                import jax
+                if jax.devices()[0].platform == "cpu":
+                    return {}
+            except Exception:
+                return {}
+        from ..ops.global_device import DeviceGlobalAligner
+        if self._device_global_al is None:
+            self._device_global_al = DeviceGlobalAligner()
+        dga = self._device_global_al
+        est = sum(min(len(q), len(t)) * 384
+                  for q, t in zip(qs, ts)
+                  if dga.eligible(len(q), len(t)))
+        if not force_device and est < self._min_device_finalize_cells():
+            return {}
+        t0 = _time.perf_counter()
+        try:
+            out = dga.align_batch(qs, ts)
+        except Exception:
+            out = {}        # any device failure -> full host fallback
+        self.timings["device_finalize_s"] += _time.perf_counter() - t0
+        return out
+
+    def _finalize_many(self, per_read_codes, seqs, results_by_read,
+                       force_device: bool = False,
+                       force_host: bool = False) -> List[Alignment]:
         """Per-read _finalize with the global-alignment tracebacks batched
         into one threaded native call (identical output; the per-read
-        form is the oracle, tests/test_native.py)."""
+        form is the oracle, tests/test_native.py).  Long-fragment jobs
+        may run on the device (_maybe_device_finalize) — bit-identical,
+        host fallback for anything the device declines."""
         from ..io import native
         if not native.sw_global_batch_available():
             return [self._finalize(per_read_codes[ri], len(seq),
@@ -846,8 +903,15 @@ class BatchAligner(Aligner):
         if sel:
             qs = [per_read_codes[s[0]][s[2]][s[5]:s[6]] for s in sel]
             ts = [self.idx.ref[s[7]:s[8]] for s in sel]
-            for s, (gs, cigar, nm) in zip(
-                    sel, native.sw_global_batch_native(qs, ts)):
+            dev_res = ({} if force_host
+                       else self._maybe_device_finalize(qs, ts, force_device))
+            rest = [x for x in range(len(sel)) if x not in dev_res]
+            if rest:
+                for x, r in zip(rest, native.sw_global_batch_native(
+                        [qs[x] for x in rest], [ts[x] for x in rest])):
+                    dev_res[x] = r
+            for x, s in enumerate(sel):
+                gs, cigar, nm = dev_res[x]
                 (ri, pi, strand, local_max, tid, qb, qe, rb, rend,
                  sub, sub_n) = s
                 n = len(seqs[ri])
