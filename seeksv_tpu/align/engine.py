@@ -832,15 +832,17 @@ class BatchAligner(Aligner):
         v = os.environ.get("SEEKSV_TPU_FINALIZE_CROSSOVER_CELLS")
         return int(v) if v else cls.MIN_DEVICE_FINALIZE_CELLS
 
-    def _maybe_device_finalize(self, qs, ts, force_device: bool):
-        """Route eligible long-fragment global tracebacks to the TPU
-        (ops.global_device): bit-identical score/CIGAR/NM for every job
-        it accepts; everything else stays on the native ladder.  Gated
-        on an accelerator being present and the eligible banded-cell
-        volume crossing the finalize crossover (the device pays a fixed
-        tunnel cost per batch)."""
+    def _device_finalize_plan(self, qs, ts, force_device: bool):
+        """Decide whether (and for which job rows) the device finalize
+        runs.  Returns (dga, dev_rows) or (None, []).  The device takes
+        a calibratable SHARE of the eligible long-fragment jobs and
+        runs CONCURRENTLY with the host ladder on the rest (the host
+        C++ releases the GIL; the device thread mostly waits on the
+        tunnel), so the finalize wall is max(host part, device part)
+        instead of host-alone.  Gated on an accelerator being present
+        and the eligible banded-cell volume crossing the finalize
+        crossover."""
         import os
-        import time as _time
 
         # SEEKSV_TPU_DEVICE_FINALIZE_ON_CPU: run the device-finalize jax
         # path on the CPU backend (test/dryrun coverage of the exact
@@ -849,25 +851,22 @@ class BatchAligner(Aligner):
             try:
                 import jax
                 if jax.devices()[0].platform == "cpu":
-                    return {}
+                    return None, []
             except Exception:
-                return {}
+                return None, []
         from ..ops.global_device import DeviceGlobalAligner
         if self._device_global_al is None:
             self._device_global_al = DeviceGlobalAligner()
         dga = self._device_global_al
-        est = sum(min(len(q), len(t)) * 384
-                  for q, t in zip(qs, ts)
-                  if dga.eligible(len(q), len(t)))
+        elig = [x for x in range(len(qs))
+                if dga.eligible(len(qs[x]), len(ts[x]))]
+        est = sum(min(len(qs[x]), len(ts[x])) * 384 for x in elig)
         if not force_device and est < self._min_device_finalize_cells():
-            return {}
-        t0 = _time.perf_counter()
-        try:
-            out = dga.align_batch(qs, ts)
-        except Exception:
-            out = {}        # any device failure -> full host fallback
-        self.timings["device_finalize_s"] += _time.perf_counter() - t0
-        return out
+            return None, []
+        share = 1.0 if force_device else float(os.environ.get(
+            "SEEKSV_TPU_FINALIZE_DEVICE_SHARE", "0.45"))
+        k = max(1, int(len(elig) * share))
+        return dga, elig[:k]
 
     def _finalize_many(self, per_read_codes, seqs, results_by_read,
                        force_device: bool = False,
@@ -901,11 +900,39 @@ class BatchAligner(Aligner):
                 sel.append((ri, pi, r[0], r[2], r[3], r[4], r[5], r[6],
                             r[7], sub, sub_n))
         if sel:
+            import threading
+            import time as _time
             qs = [per_read_codes[s[0]][s[2]][s[5]:s[6]] for s in sel]
             ts = [self.idx.ref[s[7]:s[8]] for s in sel]
-            dev_res = ({} if force_host
-                       else self._maybe_device_finalize(qs, ts, force_device))
-            rest = [x for x in range(len(sel)) if x not in dev_res]
+            dga, dev_rows = ((None, []) if force_host else
+                             self._device_finalize_plan(qs, ts, force_device))
+            dev_res: Dict[int, tuple] = {}
+            th = None
+            if dev_rows:
+                def _run_dev():
+                    t0 = _time.perf_counter()
+                    try:
+                        r = dga.align_batch([qs[x] for x in dev_rows],
+                                            [ts[x] for x in dev_rows])
+                    except Exception:
+                        r = {}     # device failure -> host second pass
+                    self.timings["device_finalize_s"] += (
+                        _time.perf_counter() - t0)
+                    dev_res.update((dev_rows[i], v) for i, v in r.items())
+                th = threading.Thread(target=_run_dev)
+                th.start()
+            dev_set = set(dev_rows)
+            host_rows = [x for x in range(len(sel)) if x not in dev_set]
+            host_out = (native.sw_global_batch_native(
+                [qs[x] for x in host_rows], [ts[x] for x in host_rows])
+                if host_rows else [])
+            if th is not None:
+                th.join()
+            for x, r in zip(host_rows, host_out):
+                dev_res[x] = r
+            # jobs the device declined (past-rung-64 decisions, run
+            # overflow) get a host second pass
+            rest = [x for x in dev_rows if x not in dev_res]
             if rest:
                 for x, r in zip(rest, native.sw_global_batch_native(
                         [qs[x] for x in rest], [ts[x] for x in rest])):
