@@ -1185,6 +1185,48 @@ void seeksv_depth_diff_soa(const int32_t* flag, const int32_t* tid,
   }
 }
 
+// The two derived per-record columns StreamStats needs each slab
+// (pipeline/stream.py): end[i] = pos[i] + reference span (M/D/N/=/X
+// consume, bam_calend semantics) and hard[i] = record has a cigar whose
+// first or last op is H.  The numpy forms cost a cumsum over the cigar
+// stream (a scalar loop on this host) plus several gathers per slab.
+void seeksv_stream_end_hard(const int32_t* pos, const uint32_t* cig,
+                            const int64_t* cig_off, int64_t n,
+                            int32_t* end, uint8_t* hard,
+                            int32_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = (int32_t)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  auto worker = [&](int64_t a, int64_t b) {
+    for (int64_t i = a; i < b; i++) {
+      const int64_t c0 = cig_off[i], c1 = cig_off[i + 1];
+      int64_t span = 0;
+      for (int64_t c = c0; c < c1; c++) {
+        const uint32_t op = cig[c] & 0xF;
+        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+          span += cig[c] >> 4;
+      }
+      end[i] = pos[i] + (int32_t)span;
+      hard[i] = (c1 > c0) && (((cig[c0] & 0xF) == 5) ||
+                              ((cig[c1 - 1] & 0xF) == 5));
+    }
+  };
+  if (n_threads == 1 || n < 100000) {
+    worker(0, n);
+    return;
+  }
+  std::vector<std::thread> ths;
+  const int64_t chunk = (n + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; t++) {
+    const int64_t a = t * chunk;
+    const int64_t b = a + chunk < n ? a + chunk : n;
+    if (a >= b) break;
+    ths.emplace_back(worker, a, b);
+  }
+  for (auto& th : ths) th.join();
+}
+
 // Fused scatter + prefix-sum: depth[i] = number of segments covering i,
 // for i in [0, L).  depth must be zero-initialised with capacity L+1
 // (the +1 slot absorbs clipped scatter ends).  Replaces the

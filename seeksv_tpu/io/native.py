@@ -128,6 +128,13 @@ def _load() -> Optional[ctypes.CDLL]:
                         ctypes.POINTER(ctypes.c_uint32), p64,
                         ctypes.c_int64, ctypes.c_int32, p64,
                         ctypes.c_int32, p32, p32]
+                if hasattr(lib, "seeksv_stream_end_hard"):
+                    p32 = ctypes.POINTER(ctypes.c_int32)
+                    p64 = ctypes.POINTER(ctypes.c_int64)
+                    lib.seeksv_stream_end_hard.argtypes = [
+                        p32, ctypes.POINTER(ctypes.c_uint32), p64,
+                        ctypes.c_int64, p32,
+                        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32]
                 if hasattr(lib, "seeksv_bgzf_compress"):
                     pu8 = ctypes.POINTER(ctypes.c_uint8)
                     lib.seeksv_bgzf_bound.restype = ctypes.c_int64
@@ -732,6 +739,33 @@ def discordant_base_ok(flag, mapq, isize, hard, min_mapq: int,
         min_mapq, min_ins, max_ins, int(skip_hard),
         out.ctypes.data_as(pu8))
     return out.view(bool)
+
+
+def stream_end_hard_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "seeksv_stream_end_hard")
+
+
+def stream_end_hard(recs, n_threads: int = 0):
+    """(end, hard) per record: end = pos + ref span (M/D/N/=/X,
+    bam_calend), hard = first-or-last cigar op is H.  One threaded
+    native pass replacing the cumsum-based numpy forms on the
+    StreamStats hot path (pipeline/stream.py)."""
+    lib = _load()
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    pos = np.ascontiguousarray(recs.pos, np.int32)
+    cig = np.ascontiguousarray(recs.cig, np.uint32)
+    cig_off = np.ascontiguousarray(recs.cig_off, np.int64)
+    end = np.empty(recs.n, np.int32)
+    hard = np.empty(recs.n, np.uint8)
+    lib.seeksv_stream_end_hard(
+        pos.ctypes.data_as(p32),
+        cig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cig_off.ctypes.data_as(p64), recs.n,
+        end.ctypes.data_as(p32),
+        hard.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_threads)
+    return end, hard.view(bool)
 
 
 def depth_diff_soa_available() -> bool:

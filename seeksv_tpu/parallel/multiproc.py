@@ -549,6 +549,177 @@ def _empty_records(ref_names, ref_lens) -> BamRecords:
               xc=np.zeros(0, np.int32))
 
 
+SOMATIC_CLIP_HALO = 1024   # flat bp each side of a cut; >= the somatic
+                           # probe reach (offset 30 + microhomology
+                           # shifts <= 90, somatic.cpp:73-302)
+
+
+def _somatic_clip_halo(part, name2id, offs, lo, hi, pid, nproc, W):
+    """Exchange clip.gz lines near the range cuts: returns the FOREIGN
+    lines whose map keys fall in [lo-W, lo) or [hi, hi+W) — appended to
+    this process's somatic clip map so any probe anchored in [lo, hi)
+    sees every entry its +-W window can reach (first-match semantics
+    then equal the sequential global map's).  Keys are whole-owned by
+    one process (clip groups are per-position), so appending foreign
+    lines never interleaves entries within a key."""
+    import gzip
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    with gzip.open(f"{part}.clip.gz", "rb") as f:
+        lines = f.read().splitlines(keepends=True)
+    send = []
+    for ln in lines:
+        fl = ln.split()
+        if len(fl) < 9:
+            continue
+        tid = name2id.get(fl[0].decode())
+        if tid is None:
+            continue
+        flat = int(offs[tid]) + int(fl[1])
+        if flat < lo + W or flat >= hi - W:
+            send.append((flat, ln))
+    blob = pickle.dumps(send)
+    ln_arr = np.asarray([len(blob)], np.int64)
+    lens = np.asarray(multihost_utils.process_allgather(ln_arr)).reshape(-1)
+    cap = int(lens.max(initial=1))
+    padded = np.zeros(cap, np.uint8)
+    padded[:len(blob)] = np.frombuffer(blob, np.uint8)
+    allb = np.asarray(multihost_utils.process_allgather(padded)).reshape(
+        nproc, cap)
+    extras = []
+    for p in range(nproc):
+        if p == pid:
+            continue
+        for flat, ln in pickle.loads(allb[p, :lens[p]].tobytes()):
+            if (lo - W <= flat < lo) or (hi <= flat < hi + W):
+                extras.append((flat, ln))
+    extras.sort(key=lambda t: t[0])
+    return [ln for _f, ln in extras]
+
+
+def multiprocess_somatic_range(mesh, normal_bam: str, tumor_sv: str,
+                               out_temp: str, out_final: str, prefix: str,
+                               *, min_mapq: int = 20,
+                               read_pair_used: int = 5_000_000,
+                               chunk_records: int = 500_000,
+                               log=lambda *a: None) -> Optional[str]:
+    """Sub-chromosome RANGE-sharded tumor/normal subtraction (the
+    somatic analogue of multiprocess_run_pipeline's flat-genome cuts):
+
+    - normal ingest = contiguous flat range + halos
+      (ingest_local_range); per-process getclip with clip events
+      assigned to one owner by breakpoint position;
+    - clip-line halo exchange (+-SOMATIC_CLIP_HALO around each cut) so
+      a probe window straddling a cut still resolves its first match
+      against every entry the sequential map holds;
+    - each tumor row's LEFT clip probe belongs to the flat owner of
+      (up_chr, up_pos), the RIGHT to the owner of (down_chr, down_pos)
+      (every probe key lies within +-90+30 of its anchor,
+      somatic.cpp:73-302): non-owners zero their side before the
+      all-reduce, so each side is counted exactly once and the existing
+      triple SUM combine stays exact;
+    - discordant counts run over OWNED records only (per-record
+      predicate -> additive across disjoint shards).
+
+    Byte-equal to the sequential pass on single-chromosome genomes
+    (tests/test_multihost.py).  Returns the final path on process 0."""
+    import gzip
+    import shutil
+
+    import jax
+    from jax.experimental import multihost_utils
+
+    from ..pipeline.getclip import GetclipStream
+    from ..pipeline.somatic import somatic, somatic_filter
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+
+    (local, (own_a, own_b), ref_names, ref_lens, offs, lo,
+     hi) = ingest_local_range(normal_bam, pid, nproc, chunk_records)
+    name2id = {n: i for i, n in enumerate(ref_names)}
+    part = f"{prefix}.normal.p{pid}"
+    gs = GetclipStream(part, own_range=_bp_own_ranges(
+        offs, ref_lens, lo, hi, pid, nproc))
+    if local is not None:
+        gs.process(local)
+    gs.close()
+    log(f"[p{pid}] normal getclip done "
+        f"({local.n if local else 0} records, flat [{lo}, {hi}))")
+
+    extras = _somatic_clip_halo(part, name2id, offs, lo, hi, pid, nproc,
+                                SOMATIC_CLIP_HALO)
+    halo_clip = f"{part}.halo.clip.gz"
+    with gzip.open(f"{part}.clip.gz", "rb") as fin, \
+            gzip.open(halo_clip, "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+        for ln in extras:
+            fout.write(ln)
+    if extras:
+        log(f"[p{pid}] somatic clip halo: {len(extras)} foreign line(s)")
+
+    if local is None or own_b <= own_a:
+        owned = _empty_records(ref_names, ref_lens)
+    else:
+        owned = slice_records(local, own_a, own_b)
+    _cov, mean, dev = multiprocess_coverage_insert(mesh, owned, min_mapq,
+                                                   read_pair_used)
+    log(f"[p{pid}] normal insert: mean={mean} dev={dev}")
+
+    triples: list = []
+    somatic(normal_bam, halo_clip, tumor_sv, None,
+            recs=owned, mean_dev=(mean, dev),
+            read_pair_used=read_pair_used, collect_triples=triples)
+
+    # per-side ownership mask (rows in somatic()'s collection order:
+    # non-header lines with >= 23 fields)
+    def _owns(chrom: str, pos: int) -> bool:
+        tid = name2id.get(chrom)
+        if tid is None or tid >= len(ref_lens):
+            return pid == nproc - 1     # Exogenous/unknown: last owns
+        flat = int(offs[tid]) + pos
+        ok = lo <= flat < hi
+        if pid == 0:
+            ok |= flat < lo
+        if pid == nproc - 1:
+            ok |= flat >= hi
+        return ok
+
+    ri = 0
+    opener = gzip.open if tumor_sv.endswith(".gz") else open
+    with opener(tumor_sv, "rt") as f:
+        for line in f:
+            if line.startswith("@"):
+                continue
+            fl = line.split()
+            if len(fl) < 23:
+                continue
+            nleft, nright, nab = triples[ri]
+            if not _owns(fl[0], int(fl[1])):
+                nleft = 0
+            if not _owns(fl[4], int(fl[5])):
+                nright = 0
+            triples[ri] = (nleft, nright, nab)
+            ri += 1
+    assert ri == len(triples), "tumor row parse desynced from somatic()"
+
+    arr = np.asarray(triples, np.int64).reshape(-1, 3) if triples \
+        else np.zeros((0, 3), np.int64)
+    total = np.asarray(
+        multihost_utils.process_allgather(arr)).sum(axis=0)
+    log(f"[p{pid}] somatic triples combined ({arr.shape[0]} rows)")
+
+    if pid != 0:
+        return None
+    somatic(normal_bam, None, tumor_sv, out_temp,
+            use_triples=total, read_pair_used=read_pair_used)
+    somatic_filter(out_temp, out_final)
+    log(f"[p0] wrote {out_final}")
+    return out_final
+
+
 def multiprocess_somatic(mesh, normal_bam: str, tumor_sv: str,
                          out_temp: str, out_final: str, prefix: str, *,
                          min_mapq: int = 20,

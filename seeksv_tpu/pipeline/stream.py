@@ -125,14 +125,22 @@ class StreamStats:
         self._cols.hint(n_records)
 
     def process(self, recs: BamRecords) -> None:
+        from ..io import native
         self.ref_names = recs.ref_names
         self.ref_lens = list(recs.ref_lens)
         self.n += recs.n
 
-        first_op = recs.first_op()
-        last_op = recs.last_op()
-        has_cigar = recs.cig_off[1:] > recs.cig_off[:-1]
-        hard = has_cigar & ((first_op == OP_H) | (last_op == OP_H))
+        # end (bam_calend) + hard in one threaded native pass; the numpy
+        # fallback pays a cumsum over the slab's cigar stream (a scalar
+        # loop on this host) plus several gathers
+        if native.stream_end_hard_available():
+            end, hard = native.stream_end_hard(recs)
+        else:
+            first_op = recs.first_op()
+            last_op = recs.last_op()
+            has_cigar = recs.cig_off[1:] > recs.cig_off[:-1]
+            hard = has_cigar & ((first_op == OP_H) | (last_op == OP_H))
+            end = recs.pos + recs.ref_span(count_x=True)
 
         # insert-size model: first N qualifying records in file order
         # (ref: cluster.cpp:25-56)
@@ -148,7 +156,6 @@ class StreamStats:
         # coverage diffs per tid (ref: bam2depth.cpp:75-129): single fused
         # native pass over the SoA when built; numpy segment expansion
         # otherwise (identical totals, tests/test_stream.py)
-        from ..io import native
         if native.depth_diff_soa_available():
             if self._flat_diff is None:
                 lens = np.asarray(recs.ref_lens, np.int64)
@@ -178,8 +185,7 @@ class StreamStats:
         self._cols.append(
             pos=recs.pos, mpos=recs.mpos, mtid=recs.mtid,
             l_qseq=recs.l_qseq, flag=recs.flag, mapq=recs.mapq,
-            isize=recs.isize, tid=recs.tid,
-            end=recs.pos + recs.ref_span(count_x=True), hard=hard)
+            isize=recs.isize, tid=recs.tid, end=end, hard=hard)
 
     def insert_size(self) -> Tuple[int, int]:
         """Exact calculate_insert_size semantics over the accumulated

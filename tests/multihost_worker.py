@@ -69,6 +69,38 @@ def main():
         else:
             print(f"[{pid}] somatic done", flush=True)
         return
+    if mode == "somatic_range":
+        # sub-chromosome RANGE-sharded somatic: flat-genome cuts land
+        # mid-chromosome; clip-line halo exchange + per-side ownership
+        # masks (parallel.multiproc.multiprocess_somatic_range)
+        tumor_sv, workdir = sys.argv[6], sys.argv[7]
+        from seeksv_tpu.parallel.multiproc import multiprocess_somatic_range
+        n_dev = jax.device_count()
+        devs = np.array(jax.devices()).reshape(n_dev, 1)
+        mesh = Mesh(devs, ("dp", "gp"))
+        out = multiprocess_somatic_range(
+            mesh, bam, tumor_sv, f"{workdir}/mpr.temp.sv",
+            f"{workdir}/mpr.somatic.sv", f"{workdir}/mpr",
+            log=lambda *a: print(*a, flush=True))
+        if pid == 0:
+            from seeksv_tpu.pipeline.getclip import getclip
+            from seeksv_tpu.pipeline.somatic import somatic, somatic_filter
+            getclip(bam, f"{workdir}/seqn")
+            somatic(bam, f"{workdir}/seqn.clip.gz", tumor_sv,
+                    f"{workdir}/seqr.temp.sv")
+            somatic_filter(f"{workdir}/seqr.temp.sv",
+                           f"{workdir}/seqr.somatic.sv")
+            for got_p, want_p in ((f"{workdir}/mpr.temp.sv",
+                                   f"{workdir}/seqr.temp.sv"),
+                                  (out, f"{workdir}/seqr.somatic.sv")):
+                got = open(got_p, "rb").read()
+                want = open(want_p, "rb").read()
+                assert got == want, f"somatic_range diverges: {got_p}\n" \
+                    + got.decode()[:1500] + "\n----\n" + want.decode()[:1500]
+            print("MULTIHOST_SOMATIC_RANGE_OK", flush=True)
+        else:
+            print(f"[{pid}] somatic_range done", flush=True)
+        return
     if mode == "pipeline":
         ref_fa, workdir = sys.argv[6], sys.argv[7]
         from seeksv_tpu.parallel.multiproc import multiprocess_run_pipeline

@@ -112,6 +112,64 @@ def _single_chrom_dataset(tmp_path, with_equal_boundary: bool):
     return bam, fa
 
 
+def _tumor_normal_single_chrom(tmp_path):
+    """Single-chromosome tumor/normal pair: two GERMLINE deletions (in
+    both samples), one with its breakends ~10-400 bp below the 2-process
+    flat cut (G/2 = 120k) so normal clip evidence sits within the
+    somatic probe halo of a cut, plus two somatic-only deletions."""
+    import numpy as np
+
+    from seeksv_tpu.io.bai import build_index
+    from seeksv_tpu.utils.simulate import (build_donor, random_genome,
+                                           simulate_reads, write_fasta)
+    rng = np.random.default_rng(11)
+    G = 240_000
+    g = random_genome(rng, G)
+    ref = {"chr1": g}
+    germline = [(40_000, 40_400), (119_600, 119_990)]
+    somatic_only = [(80_000, 80_500), (170_000, 170_350)]
+    fa = str(tmp_path / "ref.fa")
+    write_fasta(fa, ref)
+    cancer = str(tmp_path / "cancer.bam")
+    donor_c = build_donor(ref, deletions=sorted(germline + somatic_only))
+    simulate_reads(donor_c, ["chr1"], [G], cancer, coverage=30, seed=7,
+                   error_rate=0.0)
+    build_index(cancer)
+    normal = str(tmp_path / "normal.bam")
+    donor_n = build_donor(ref, deletions=sorted(germline))
+    simulate_reads(donor_n, ["chr1"], [G], normal, coverage=30, seed=8,
+                   error_rate=0.0)
+    build_index(normal)
+    return cancer, normal, fa
+
+
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_range_sharded_somatic_single_chromosome(tmp_path, nproc):
+    """Sub-chromosome range-sharded somatic (flat cuts land mid-chr1):
+    byte-equal temp AND final somatic.sv vs the sequential pass, with
+    normal clip evidence inside a cut's halo (the clip-line exchange
+    must fire, not pass vacuously) and germline rows subtracted."""
+    import io
+
+    from seeksv_tpu.pipeline.driver import run_pipeline
+    cancer, normal, fa = _tumor_normal_single_chrom(tmp_path)
+    run_pipeline(fa, cancer, str(tmp_path / "cancer"),
+                 filtered_out=io.StringIO())
+    tumor_sv = str(tmp_path / "cancer.sv")
+    outs = _run_workers(["somatic_range", tumor_sv, str(tmp_path)],
+                        "MULTIHOST_SOMATIC_RANGE_OK", bam=normal,
+                        nproc=nproc)
+    joined = "".join(outs)
+    assert "somatic clip halo" in joined, joined[-2000:]
+    # germline rows must carry nonzero control columns -> filtered from
+    # the final set; somatic-only rows survive
+    final = open(tmp_path / "mpr.somatic.sv").read().splitlines()
+    rows = [ln for ln in final if not ln.startswith("@")]
+    poss = [int(r.split("\t")[1]) for r in rows]
+    assert any(abs(p - 80_000) < 60 for p in poss), rows
+    assert not any(abs(p - 119_600) < 60 for p in poss), rows
+
+
 @pytest.mark.parametrize("nproc", [2, 4])
 def test_range_sharding_single_chromosome(tmp_path, nproc):
     """VERDICT r3 #5 'Done': N-process byte-equal sv.txt on a
