@@ -1185,6 +1185,46 @@ void seeksv_depth_diff_soa(const int32_t* flag, const int32_t* tid,
   }
 }
 
+// Depth segments in genome-flat coordinates: one (flat_start, flat_end)
+// pair per M/=/X cigar segment of every record passing the mapQ +
+// BAM_DEF_MASK gate, clipped to the owning chromosome (the host prep of
+// the SPMD genome-sharded coverage scatter, parallel/spmd_pipeline.py
+// _flat_segments).  Returns the segment count; out arrays must have
+// capacity = total cigar ops.  Replaces the numpy repeat+cumsum
+// expansion (np.cumsum is a scalar loop on this host).
+int64_t seeksv_depth_segments_flat(
+    const int32_t* flag, const int32_t* tid, const int32_t* pos,
+    const int32_t* mapq, const uint32_t* cig, const int64_t* cig_off,
+    int64_t n, int32_t min_mapq, const int64_t* offsets,
+    const int32_t* ref_lens, int32_t n_refs,
+    int64_t* out_start, int64_t* out_end) {
+  constexpr int32_t kDefMask = 0x4 | 0x100 | 0x200 | 0x400;
+  int64_t k = 0;
+  for (int64_t i = 0; i < n; i++) {
+    if (mapq[i] < min_mapq || (flag[i] & kDefMask) != 0) continue;
+    const int32_t t = tid[i];
+    if (t < 0 || t >= n_refs) continue;
+    const int64_t off = offsets[t];
+    const int64_t L = ref_lens[t];
+    int64_t p = pos[i];
+    for (int64_t c = cig_off[i]; c < cig_off[i + 1]; c++) {
+      const uint32_t op = cig[c] & 0xF;
+      const int64_t len = cig[c] >> 4;
+      if (op == 0 || op == 7 || op == 8) {       // M/=/X
+        int64_t s = p < 0 ? 0 : (p > L ? L : p);
+        int64_t e = p + len < 0 ? 0 : (p + len > L ? L : p + len);
+        out_start[k] = off + s;
+        out_end[k] = off + e;
+        k++;
+        p += len;
+      } else if (op == 2 || op == 3) {           // D/N
+        p += len;
+      }
+    }
+  }
+  return k;
+}
+
 // The two derived per-record columns StreamStats needs each slab
 // (pipeline/stream.py): end[i] = pos[i] + reference span (M/D/N/=/X
 // consume, bam_calend semantics) and hard[i] = record has a cigar whose

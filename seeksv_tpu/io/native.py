@@ -128,6 +128,15 @@ def _load() -> Optional[ctypes.CDLL]:
                         ctypes.POINTER(ctypes.c_uint32), p64,
                         ctypes.c_int64, ctypes.c_int32, p64,
                         ctypes.c_int32, p32, p32]
+                if hasattr(lib, "seeksv_depth_segments_flat"):
+                    p32 = ctypes.POINTER(ctypes.c_int32)
+                    p64 = ctypes.POINTER(ctypes.c_int64)
+                    lib.seeksv_depth_segments_flat.restype = ctypes.c_int64
+                    lib.seeksv_depth_segments_flat.argtypes = [
+                        p32, p32, p32, p32,
+                        ctypes.POINTER(ctypes.c_uint32), p64,
+                        ctypes.c_int64, ctypes.c_int32, p64, p32,
+                        ctypes.c_int32, p64, p64]
                 if hasattr(lib, "seeksv_stream_end_hard"):
                     p32 = ctypes.POINTER(ctypes.c_int32)
                     p64 = ctypes.POINTER(ctypes.c_int64)
@@ -739,6 +748,41 @@ def discordant_base_ok(flag, mapq, isize, hard, min_mapq: int,
         min_mapq, min_ins, max_ins, int(skip_hard),
         out.ctypes.data_as(pu8))
     return out.view(bool)
+
+
+def depth_segments_flat_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "seeksv_depth_segments_flat")
+
+
+def depth_segments_flat(recs, min_mapq: int, offsets: np.ndarray):
+    """(flat_start, flat_end) per M/=/X segment of every gate-passing
+    record, clipped to the owning chromosome — one native pass replacing
+    the repeat+cumsum numpy expansion of depth_segments + flat mapping
+    (parallel/spmd_pipeline.py _flat_segments)."""
+    lib = _load()
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    flag = np.ascontiguousarray(recs.flag, np.int32)
+    tid = np.ascontiguousarray(recs.tid, np.int32)
+    pos = np.ascontiguousarray(recs.pos, np.int32)
+    mapq = np.ascontiguousarray(recs.mapq, np.int32)
+    cig = np.ascontiguousarray(recs.cig, np.uint32)
+    cig_off = np.ascontiguousarray(recs.cig_off, np.int64)
+    offs = np.ascontiguousarray(offsets[:len(recs.ref_lens)], np.int64)
+    rl = np.ascontiguousarray(recs.ref_lens, np.int32)
+    cap = max(len(cig), 1)
+    out_s = np.empty(cap, np.int64)
+    out_e = np.empty(cap, np.int64)
+    k = lib.seeksv_depth_segments_flat(
+        flag.ctypes.data_as(p32), tid.ctypes.data_as(p32),
+        pos.ctypes.data_as(p32), mapq.ctypes.data_as(p32),
+        cig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cig_off.ctypes.data_as(p64), recs.n, min_mapq,
+        offs.ctypes.data_as(p64), rl.ctypes.data_as(p32),
+        len(recs.ref_lens), out_s.ctypes.data_as(p64),
+        out_e.ctypes.data_as(p64))
+    return out_s[:k], out_e[:k]
 
 
 def stream_end_hard_available() -> bool:

@@ -733,7 +733,12 @@ def _coverage_insert_body(dp: int, block: int, g_pad: int,
 def _flat_segments(recs: BamRecords, min_mapq: int, offsets: np.ndarray,
                    g_pad: int):
     """Depth segments in genome-flat coordinates (host prep shared by the
-    SPMD and multi-process steps)."""
+    SPMD and multi-process steps).  Native single-pass when built (the
+    numpy form below is the oracle — identical output asserted by the
+    SPMD-vs-sequential coverage parity tests)."""
+    from ..io import native
+    if native.depth_segments_flat_available():
+        return native.depth_segments_flat(recs, min_mapq, offsets)
     seg_start, seg_end, seg_tid = depth_segments(recs, min_mapq)
     # clip per-tid (a segment overhanging its chromosome end must not
     # bleed into the next tid's block in the flat coordinate space)
@@ -1071,6 +1076,11 @@ def spmd_discordant_counts_sharded(mesh, counter: DiscordantCounter,
     J = len(junctions)
     if J == 0:
         return np.zeros(0, np.int32)
+    if mesh.size == 1:
+        # degenerate mesh: no shard to route to — the host counter IS
+        # the single-device computation without the pad/upload round
+        # trip (value-equal; the >=2-device path is the memory form)
+        return np.asarray([counter.count(j) for j in junctions], np.int64)
     K = 5
     # per-junction global window record ranges (same prep as the
     # replicated form)

@@ -195,6 +195,8 @@ class SpmdStreamStats:
         self.ref_lens: List[int] = []
         self.n = 0
         self._acc = None          # device [ndev * (g_local+1)] int32
+        self._host_diff = None    # 1-device mesh: sequential native diff
+        self._host_base = None
         self._offsets = None
         self._g_pad = 0
         self._g_local = 0         # genome slice per device (w/o spill)
@@ -255,21 +257,89 @@ class SpmdStreamStats:
         self.ref_names = recs.ref_names
         self.ref_lens = list(recs.ref_lens)
         self.n += recs.n
+        from ..io import native
         ndev = self.mesh.size
-        if self._acc is None:
+        host_cov = ndev == 1 and native.depth_diff_soa_available()
+        if self._acc is None and self._offsets is None:
             lens = np.asarray(recs.ref_lens, np.int64)
             self._offsets = np.concatenate([[0], np.cumsum(lens)])
             self._g_pad = int(self._offsets[-1])
             self._g_local = -(-self._g_pad // ndev)
             self._build_fns()
-            self._acc = jax.device_put(
-                np.zeros(ndev * (self._g_local + 1), np.int32),
-                self._acc_sharding)
+            if not host_cov:
+                self._acc = jax.device_put(
+                    np.zeros(ndev * (self._g_local + 1), np.int32),
+                    self._acc_sharding)
 
-        # coverage segments -> ±1 point updates routed to their owner
-        # shard on host; points BUFFER across slabs and scatter in a few
-        # large device calls (per-slab dispatch of ndev tiny executions
-        # dominates on a virtual mesh squeezed onto 2 cores)
+        # degenerate 1-device mesh: the genome-sharded scatter has no
+        # routing to do and the device round-trip is pure decomposition
+        # overhead — accumulate the diff with the sequential native
+        # kernel instead (identical totals; the >=2-device path is the
+        # memory-scaling form)
+        if host_cov:
+            if self._host_diff is None:
+                lens = np.asarray(recs.ref_lens, np.int64)
+                self._host_base = np.concatenate(
+                    [[0], np.cumsum(lens + 1)])[:-1]
+                self._host_diff = np.zeros(int((lens + 1).sum()), np.int32)
+            native.depth_diff_soa(recs, self.min_mapq, self._host_base,
+                                  self._host_diff)
+        else:
+            # coverage segments -> ±1 point updates routed to their
+            # owner shard on host; points BUFFER across slabs and
+            # scatter in a few large device calls (per-slab dispatch of
+            # ndev tiny executions dominates on a virtual mesh squeezed
+            # onto 2 cores)
+            self._scatter_points(recs)
+
+        # insert-size histogram with the running cross-slab first-N offset
+        if self._base < self.read_pair_used:
+            ok, isz, _over = _insert_columns(recs, self.min_mapq)
+            # first-N cap without a cumsum (a scalar loop on this host):
+            # keep only the first (N - base) qualifying records in file
+            # order
+            room = self.read_pair_used - self._base
+            idx = np.nonzero(ok)[0]
+            if len(idx) > room:
+                take = np.zeros_like(ok)
+                take[idx[:room]] = True
+            else:
+                take = ok
+            if ndev == 1:
+                # degenerate mesh: the psum'd device scatter reduces to
+                # a plain histogram — identical totals, no round trip
+                self._hist += np.bincount(isz[take],
+                                          minlength=HIST_SIZE)[:HIST_SIZE]
+            else:
+                N = recs.n
+                Np = -(-_pow2_bucket(max(N, 1)) // ndev) * ndev
+                takep = np.zeros(Np, bool)
+                iszp = np.zeros(Np, np.int32)
+                takep[:N] = take
+                iszp[:N] = isz
+                h = self._hist_step(
+                    jax.device_put(iszp, self._seg_sharding),
+                    jax.device_put(takep, self._seg_sharding))
+                self._hist += np.asarray(h).astype(np.int64)
+            self._base += int(ok.sum())
+
+        # compact host columns (the discordant-window working set);
+        # end/hard in one threaded native pass (same as the sequential
+        # StreamStats — the numpy form pays a cumsum over the cigars)
+        if native.stream_end_hard_available():
+            end, hard = native.stream_end_hard(recs)
+        else:
+            first_op = recs.first_op()
+            last_op = recs.last_op()
+            has_cigar = recs.cig_off[1:] > recs.cig_off[:-1]
+            hard = has_cigar & ((first_op == OP_H) | (last_op == OP_H))
+            end = recs.pos + recs.ref_span(count_x=True)
+        self._cols.append(
+            pos=recs.pos, mpos=recs.mpos, mtid=recs.mtid,
+            l_qseq=recs.l_qseq, flag=recs.flag, mapq=recs.mapq,
+            isize=recs.isize, tid=recs.tid, end=end, hard=hard)
+
+    def _scatter_points(self, recs: BamRecords) -> None:
         st, en = _flat_segments(recs, self.min_mapq, self._offsets,
                                 self._g_pad)
         pts = np.concatenate([st, en])
@@ -283,34 +353,6 @@ class SpmdStreamStats:
         if self._pend_n >= 16_000_000:
             self._flush_points()
 
-        # insert-size histogram with the running cross-slab first-N offset
-        if self._base < self.read_pair_used:
-            ok, isz, _over = _insert_columns(recs, self.min_mapq)
-            rank = self._base + np.cumsum(ok) - 1
-            take = ok & (rank < self.read_pair_used)
-            N = recs.n
-            Np = -(-_pow2_bucket(max(N, 1)) // ndev) * ndev
-            takep = np.zeros(Np, bool)
-            iszp = np.zeros(Np, np.int32)
-            takep[:N] = take
-            iszp[:N] = isz
-            h = self._hist_step(
-                jax.device_put(iszp, self._seg_sharding),
-                jax.device_put(takep, self._seg_sharding))
-            self._hist += np.asarray(h).astype(np.int64)
-            self._base += int(ok.sum())
-
-        # compact host columns (the discordant-window working set)
-        first_op = recs.first_op()
-        last_op = recs.last_op()
-        has_cigar = recs.cig_off[1:] > recs.cig_off[:-1]
-        hard = has_cigar & ((first_op == OP_H) | (last_op == OP_H))
-        self._cols.append(
-            pos=recs.pos, mpos=recs.mpos, mtid=recs.mtid,
-            l_qseq=recs.l_qseq, flag=recs.flag, mapq=recs.mapq,
-            isize=recs.isize, tid=recs.tid,
-            end=recs.pos + recs.ref_span(count_x=True), hard=hard)
-
     # ---- finalize --------------------------------------------------------
     def _flush_points(self) -> None:
         import jax
@@ -321,20 +363,31 @@ class SpmdStreamStats:
         pts = np.concatenate(self._pend_pts)
         val = np.concatenate(self._pend_val)
         self._pend_pts, self._pend_val, self._pend_n = [], [], 0
-        shard = pts // self._g_local
-        # counting placement, not a comparison sort: ndev is tiny, so
-        # per-shard masked copies beat an argsort over tens of millions
-        # of keys by ~10x (order within a shard is irrelevant to +=)
-        cnt = np.bincount(shard, minlength=ndev)
-        K = _pow2_bucket(int(cnt.max(initial=1)))
-        idxp = np.full(ndev * K, self._g_local, np.int32)  # pad: spill slot
-        valp = np.zeros(ndev * K, np.int32)
-        for s in range(ndev):
-            sel = shard == s
-            n_s = int(cnt[s])
-            idxp[s * K:s * K + n_s] = \
-                (pts[sel] - s * self._g_local).astype(np.int32)
-            valp[s * K:s * K + n_s] = val[sel]
+        if ndev == 1:
+            # degenerate mesh: no routing to do — the points ARE the
+            # single shard's local indices (skip bincount + masked
+            # copies; pure decomposition-overhead elimination)
+            K = _pow2_bucket(len(pts))
+            idxp = np.full(K, self._g_local, np.int32)
+            valp = np.zeros(K, np.int32)
+            idxp[:len(pts)] = pts
+            valp[:len(pts)] = val
+        else:
+            shard = pts // self._g_local
+            # counting placement, not a comparison sort: ndev is tiny,
+            # so per-shard masked copies beat an argsort over tens of
+            # millions of keys by ~10x (order within a shard is
+            # irrelevant to +=)
+            cnt = np.bincount(shard, minlength=ndev)
+            K = _pow2_bucket(int(cnt.max(initial=1)))
+            idxp = np.full(ndev * K, self._g_local, np.int32)  # pad: spill
+            valp = np.zeros(ndev * K, np.int32)
+            for s in range(ndev):
+                sel = shard == s
+                n_s = int(cnt[s])
+                idxp[s * K:s * K + n_s] = \
+                    (pts[sel] - s * self._g_local).astype(np.int32)
+                valp[s * K:s * K + n_s] = val[sel]
         self._acc = self._update(
             self._acc, jax.device_put(idxp, self._seg_sharding),
             jax.device_put(valp, self._seg_sharding))
@@ -343,6 +396,14 @@ class SpmdStreamStats:
         """Gather the genome-sharded diff accumulator (drop each shard's
         spill slot) + native prefix sum -> per-tid depth arrays."""
         self._flush_points()
+        if self._host_diff is not None:
+            from ..io.native import cumsum_i32
+            out: Dict[int, np.ndarray] = {}
+            for t in range(len(self.ref_names)):
+                L = int(self.ref_lens[t])
+                b = int(self._host_base[t])
+                out[t] = cumsum_i32(self._host_diff[b:b + L + 1])[:L]
+            return out
         if self._acc is None:
             return {t: np.zeros(int(L), np.int32)
                     for t, L in enumerate(self.ref_lens)}
