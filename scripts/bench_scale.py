@@ -201,6 +201,27 @@ def sv_rows(path):
         return [ln for ln in f if not ln.startswith("@")]
 
 
+def bai_512mb_defect(ours_rows, ref_rows) -> bool:
+    """True when the two sv row lists differ EXACTLY by the reference's
+    BAI 512Mbp ceiling (PARITY.md §9): same row count, every differing
+    row differs only in column 10 (abnormal_read_pair_NO) with the
+    reference side 0 and up_pos >= 2^29."""
+    if len(ours_rows) != len(ref_rows):
+        return False
+    saw = False
+    for a, b in zip(ours_rows, ref_rows):
+        if a == b:
+            continue
+        fa, fb = a.split("\t"), b.split("\t")
+        if len(fa) != len(fb):
+            return False
+        diffcols = [i for i in range(len(fa)) if fa[i] != fb[i]]
+        if diffcols != [9] or fb[9] != "0" or int(fa[1]) < (1 << 29):
+            return False
+        saw = True
+    return saw
+
+
 def gz_sha(path):
     """sha256 of the DECOMPRESSED stream (gzip container bytes differ
     between writers; byte parity is defined on the payload)."""
@@ -341,6 +362,8 @@ def run_ab(args, root):
         calls_equal = calls(svs[name]) == calls(ref_sv)
         parity = ("exact" if exact
                   else ("calls-equal" if calls_equal else "MISMATCH"))
+        if parity != "exact" and bai_512mb_defect(svs[name], ref_sv):
+            parity = "ref-defect-bai-512mb"   # PARITY.md §9
         if parity == "MISMATCH" and args.expect_ref_defect:
             parity = "ref-defect-qname-truncation"
         clip_parity = "exact" if clip_sha[name] == ref_clip else "MISMATCH"
@@ -576,6 +599,8 @@ def main():
             calls_equal = calls(ours_sv) == calls(ref_sv)
             parity = ("exact" if exact
                       else ("calls-equal" if calls_equal else "MISMATCH"))
+            if parity != "exact" and bai_512mb_defect(ours_sv, ref_sv):
+                parity = "ref-defect-bai-512mb"   # PARITY.md §9
             if parity == "MISMATCH" and args.expect_ref_defect:
                 # characterized oracle breakdown (PARITY.md §8): clip
                 # consensi >254bp desync the v1.2.0 binary's co-iteration
