@@ -440,7 +440,8 @@ static void fill_records(const std::vector<const uint8_t*>& rec_ptrs,
   }
 }
 
-BamSoA* seeksv_bam_decode(const char* path, int n_threads) {
+static BamSoA* bam_decode_impl(const char* path, int n_threads,
+                               int32_t decode_flags) {
   BamSoA* out = (BamSoA*)calloc(1, sizeof(BamSoA));
   FILE* f = fopen(path, "rb");
   if (!f) return fail(out, "cannot open file");
@@ -517,8 +518,27 @@ BamSoA* seeksv_bam_decode(const char* path, int n_threads) {
     rec = rec + 4 + bs;
   }
   out->body_off = (int64_t)(p - data.data());
-  fill_records(rec_ptrs, out, n_threads, data.data());
+  // the compressed copy is dead after inflate: drop its pages before
+  // the SoA allocation (9.5 GB at 1 Gbp x 30x)
+  comp.clear();
+  comp.shrink_to_fit();
+  fill_records(rec_ptrs, out, n_threads, data.data(),
+               decode_flags & 1);
   return out;
+}
+
+BamSoA* seeksv_bam_decode(const char* path, int n_threads) {
+  return bam_decode_impl(path, n_threads, 0);
+}
+
+// decode_flags bit0: lazy seq/qual/qname (fill_records lazy_seq) — the
+// whole-file form of the streaming reader's lazy mode, for consumers
+// that only need the numeric columns + cigars (e.g. the BAI builder:
+// full decode of a 300M-record BAM is ~70 GB of seq/qual it never
+// reads).
+BamSoA* seeksv_bam_decode_flags(const char* path, int n_threads,
+                                int32_t decode_flags) {
+  return bam_decode_impl(path, n_threads, decode_flags);
 }
 
 // ---------------------------------------------------------------------------

@@ -201,11 +201,15 @@ def _build_index_vectorized(bam_path: str, out_path: str) -> Optional[str]:
     unavailable (python decode fallback)."""
     import struct as _s
 
-    from .bam import read_bam
     from . import native
 
-    recs = read_bam(bam_path)
-    offs = native.rec_offsets(recs) if native.available() else None
+    if not native.available():
+        return None
+    # lazy decode: the index needs tid/pos/cigars + record offsets only
+    # — full seq/qual decode of a 300M-record BAM is ~70 GB it never
+    # reads (a 1 Gbp x 30x build OOM'd exactly there)
+    recs = native.read_bam_native(bam_path, lazy=True)
+    offs = native.rec_offsets(recs)
     if offs is None:
         return None
     rec_off, _body = offs

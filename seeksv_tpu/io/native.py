@@ -98,6 +98,11 @@ def _load() -> Optional[ctypes.CDLL]:
                 lib.seeksv_bam_decode.restype = ctypes.POINTER(_BamSoA)
                 lib.seeksv_bam_decode.argtypes = [ctypes.c_char_p,
                                                   ctypes.c_int]
+                if hasattr(lib, "seeksv_bam_decode_flags"):
+                    lib.seeksv_bam_decode_flags.restype = \
+                        ctypes.POINTER(_BamSoA)
+                    lib.seeksv_bam_decode_flags.argtypes = [
+                        ctypes.c_char_p, ctypes.c_int, ctypes.c_int32]
                 lib.seeksv_bam_free.argtypes = [ctypes.POINTER(_BamSoA)]
                 lib.seeksv_coverage_diff.argtypes = [
                     ctypes.POINTER(ctypes.c_int64),
@@ -292,11 +297,18 @@ def _soa_to_records(lib, h, path: str):
     )
 
 
-def read_bam_native(path: str, n_threads: int = 0):
+def read_bam_native(path: str, n_threads: int = 0, lazy: bool = False):
+    """lazy=True skips seq/qual (and qname for fully-mapped-pair
+    records) decode — the whole-file form of the streaming reader's
+    lazy mode, for consumers that only need the numeric columns +
+    cigars (a 300M-record BAM is ~70 GB of bases otherwise)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library not built")
-    h = lib.seeksv_bam_decode(path.encode(), n_threads)
+    if lazy and hasattr(lib, "seeksv_bam_decode_flags"):
+        h = lib.seeksv_bam_decode_flags(path.encode(), n_threads, 1)
+    else:
+        h = lib.seeksv_bam_decode(path.encode(), n_threads)
     return _soa_to_records(lib, h, path)
 
 
