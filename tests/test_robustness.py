@@ -66,3 +66,36 @@ def test_truncated_bam_errors(tmp_path):
     bad.write_bytes(data[: len(data) // 2 + 13])  # mid-block cut
     with pytest.raises(Exception):
         read_bam_python(str(bad))
+
+
+def test_bai_512mb_defect_signature():
+    """bench_scale's characterized-defect grader matches exactly the
+    PARITY.md §9 signature and nothing else."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "bench_scale", os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts", "bench_scale.py"))
+    bs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bs)
+    B = 1 << 29
+
+    def row(pos, ab):
+        f = ["chr17", str(pos), "+", "5", "chr17", str(pos + 100), "+",
+             "6", "0", str(ab), "DEL"] + ["1"] * 12
+        return "\t".join(f) + "\n"
+
+    ours = [row(100, 7), row(B + 50, 9), row(B + 900, 3)]
+    ref_ok = [row(100, 7), row(B + 50, 0), row(B + 900, 0)]
+    assert bs.bai_512mb_defect(ours, ref_ok)
+    # below-2^29 difference: NOT the defect
+    ref_bad = [row(100, 0), row(B + 50, 0), row(B + 900, 0)]
+    assert not bs.bai_512mb_defect(ours, ref_bad)
+    # reference nonzero where ours differs: NOT the defect
+    ref_bad2 = [row(100, 7), row(B + 50, 1), row(B + 900, 0)]
+    assert not bs.bai_512mb_defect(ours, ref_bad2)
+    # a non-col-10 difference: NOT the defect
+    ref_bad3 = [row(100, 7), row(B + 51, 0), row(B + 900, 0)]
+    assert not bs.bai_512mb_defect(ours, ref_bad3)
+    # identical outputs: no defect to claim
+    assert not bs.bai_512mb_defect(ours, list(ours))
