@@ -1287,6 +1287,45 @@ void seeksv_stream_end_hard(const int32_t* pos, const uint32_t* cig,
   for (auto& th : ths) th.join();
 }
 
+// NM from cigar runs (engine contract: mismatches on M columns +
+// inserted + deleted bases) for device-finalized jobs — the device walk
+// emits runs without per-step base compares; this host pass supplies
+// the NM column.  Row b: query[q_off[b]:q_off[b+1]] vs
+// target[t_off[b]:t_off[b+1]], runs rlen/rop[r_off[b]:r_off[b+1]]
+// (op 0=M, 1=I, 2=D).
+void seeksv_nm_from_runs(const int32_t* q, const int64_t* q_off,
+                         const int32_t* t, const int64_t* t_off,
+                         int64_t B, const int32_t* rlen,
+                         const uint8_t* rop, const int64_t* r_off,
+                         int32_t* nm) {
+  for (int64_t b = 0; b < B; b++) {
+    const int32_t* qb = q + q_off[b];
+    const int32_t* tb = t + t_off[b];
+    int64_t qi = 0, ti = 0;
+    int32_t mm = 0;
+    for (int64_t r = r_off[b]; r < r_off[b + 1]; r++) {
+      const int32_t ln = rlen[r];
+      switch (rop[r]) {
+        case 0:
+          for (int32_t x = 0; x < ln; x++)
+            if (qb[qi + x] != tb[ti + x]) mm++;
+          qi += ln;
+          ti += ln;
+          break;
+        case 1:
+          mm += ln;
+          qi += ln;
+          break;
+        case 2:
+          mm += ln;
+          ti += ln;
+          break;
+      }
+    }
+    nm[b] = mm;
+  }
+}
+
 // Fused scatter + prefix-sum: depth[i] = number of segments covering i,
 // for i in [0, L).  depth must be zero-initialised with capacity L+1
 // (the +1 slot absorbs clipped scatter ends).  Replaces the

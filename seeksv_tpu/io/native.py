@@ -142,6 +142,12 @@ def _load() -> Optional[ctypes.CDLL]:
                         ctypes.POINTER(ctypes.c_uint32), p64,
                         ctypes.c_int64, ctypes.c_int32, p64, p32,
                         ctypes.c_int32, p64, p64]
+                if hasattr(lib, "seeksv_nm_from_runs"):
+                    p32 = ctypes.POINTER(ctypes.c_int32)
+                    p64 = ctypes.POINTER(ctypes.c_int64)
+                    lib.seeksv_nm_from_runs.argtypes = [
+                        p32, p64, p32, p64, ctypes.c_int64, p32,
+                        ctypes.POINTER(ctypes.c_uint8), p64, p32]
                 if hasattr(lib, "seeksv_stream_end_hard"):
                     p32 = ctypes.POINTER(ctypes.c_int32)
                     p64 = ctypes.POINTER(ctypes.c_int64)
@@ -795,6 +801,42 @@ def depth_segments_flat(recs, min_mapq: int, offsets: np.ndarray):
         len(recs.ref_lens), out_s.ctypes.data_as(p64),
         out_e.ctypes.data_as(p64))
     return out_s[:k], out_e[:k]
+
+
+def nm_from_runs_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "seeksv_nm_from_runs")
+
+
+def nm_from_runs(qs, ts, runs):
+    """NM per job from cigar runs (mismatches on M + indel bases; the
+    engine contract).  qs/ts: lists of code arrays; runs: list of
+    [(len, 'M'|'I'|'D'), ...]."""
+    lib = _load()
+    B = len(qs)
+    q = np.concatenate([np.asarray(x, np.int32) for x in qs]) \
+        if B else np.zeros(0, np.int32)
+    t = np.concatenate([np.asarray(x, np.int32) for x in ts]) \
+        if B else np.zeros(0, np.int32)
+    q_off = np.zeros(B + 1, np.int64)
+    t_off = np.zeros(B + 1, np.int64)
+    np.cumsum([len(x) for x in qs], out=q_off[1:])
+    np.cumsum([len(x) for x in ts], out=t_off[1:])
+    opmap = {"M": 0, "I": 1, "D": 2}
+    rlen = np.asarray([ln for rr in runs for ln, _ in rr], np.int32)
+    rop = np.asarray([opmap[o] for rr in runs for _, o in rr], np.uint8)
+    r_off = np.zeros(B + 1, np.int64)
+    np.cumsum([len(rr) for rr in runs], out=r_off[1:])
+    nm = np.zeros(B, np.int32)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    lib.seeksv_nm_from_runs(
+        q.ctypes.data_as(p32), q_off.ctypes.data_as(p64),
+        t.ctypes.data_as(p32), t_off.ctypes.data_as(p64), B,
+        rlen.ctypes.data_as(p32),
+        rop.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        r_off.ctypes.data_as(p64), nm.ctypes.data_as(p32))
+    return nm
 
 
 def stream_end_hard_available() -> bool:

@@ -197,11 +197,12 @@ def build_t2(t, tlen, dlo, K, LQ, LT):
 @functools.partial(jax.jit, static_argnames=("K", "LQ", "T"))
 def traceback_rle(dirs, q, t2, qlen, n, dlo, K, LQ, T):
     """Walk the direction bits from (m, n) to (0, 0) per job, emitting
-    ops (0=M, 1=I, 2=D), accumulating NM (mismatches on M + indel
-    bases), then run-length-encode on device.
+    ops (0=M, 1=I, 2=D), then run-length-encode on device.  NM is NOT
+    computed here (it needs a base compare per M column — the engine
+    derives it from the runs on the host, io.native.nm_from_runs).
 
-    Returns (runs_len [B, RUNS_CAP] int32, runs_op [B, RUNS_CAP] uint8
-    as 0/1/2, n_runs [B] int32 — RUNS_CAP+1 on overflow, nm [B]).
+    Returns (runs_len [B, RUNS_CAP] int32, runs_op [B, RUNS_CAP] as
+    0/1/2, n_runs [B] int32 — RUNS_CAP+1 on overflow).
 
     The walk reproduces csrc sw_global_banded's traceback exactly:
     H-mode checks dm, then de (entering a D-run continued while the
@@ -218,77 +219,86 @@ def traceback_rle(dirs, q, t2, qlen, n, dlo, K, LQ, T):
         ok = (i >= 1) & (c >= 0) & (c < K)
         return jnp.where(ok, d, 0).astype(jnp.int32)
 
-    return _traceback_core(gather_dir, q, t2, qlen, n, dlo, K, LQ, T)
-
-
-def _traceback_core(gather_dir, q, t2, qlen, n, dlo, K, LQ, T):
-    B = q.shape[0]
     i0 = qlen.astype(jnp.int32)
     j0 = n.astype(jnp.int32)
 
     def step(carry, tt):
-        i, j, mode, nm, done = carry
+        i, j, mode, done = carry
         d = gather_dir(i, j)
-        qi = jnp.take_along_axis(
-            q.astype(jnp.int32), jnp.clip(i - 1, 0, LQ - 1)[:, None],
-            axis=1)[:, 0]
-        # t[j-1] = t2[:, (j-1) - dlo] (y + dlo = j-1)
-        tj = jnp.take_along_axis(
-            t2, jnp.clip(j - 1 - dlo, 0, t2.shape[1] - 1)[:, None],
-            axis=1)[:, 0]
-        at_end = (i == 0) & (j == 0)
-        # E/F-run continuation modes
-        in_e = mode == 1
-        in_f = mode == 2
-        erun = (d & _ERUN) != 0
-        frun = (d & _FRUN) != 0
-        # H-mode branch selection (C++ preference order)
-        can_m = (i > 0) & (j > 0) & ((d & _DM) != 0)
-        can_d = (j > 0) & ((d & _DE) != 0)
-        can_f = (i > 0) & ((d & _DF) != 0)
-        fb_m = (i > 0) & (j > 0)
-        fb_d = j > 0
-        h_op = jnp.where(
-            can_m, 0,
-            jnp.where(can_d, 2,
-                      jnp.where(can_f, 1,
-                                jnp.where(fb_m, 0, jnp.where(fb_d, 2, 1)))))
-        op = jnp.where(in_e, 2, jnp.where(in_f, 1, h_op))
-        op = jnp.where(at_end | (done != 0), 3, op)
-        is_m = op == 0
-        is_i = op == 1
-        is_d = op == 2
-        nm2 = nm + jnp.where(
-            done != 0, 0,
-            jnp.where(is_m, (qi != tj).astype(jnp.int32),
-                      jnp.where(is_m | (op == 3), 0, 1)))
-        di = jnp.where(is_m | is_i, 1, 0)
-        dj = jnp.where(is_m | is_d, 1, 0)
-        i2 = jnp.where(done != 0, i, i - di)
-        j2 = jnp.where(done != 0, j, j - dj)
-        # next mode: D entered/continued while the CURRENT cell's ERUN
-        # bit holds; I via FRUN (C++ while conditions, checked before
-        # the final decrement)
-        enter_e = is_d & erun & ((in_e) | ((~in_e) & (~in_f)))
-        enter_f = is_i & frun & ((in_f) | ((~in_e) & (~in_f)))
-        mode2 = jnp.where(done != 0, mode,
-                          jnp.where(enter_e, 1, jnp.where(enter_f, 2, 0)))
-        done2 = jnp.maximum(done, at_end.astype(jnp.int32))
-        return (i2, j2, mode2, nm2, done2), op.astype(jnp.uint8)
+        op, cnt, i2, j2, mode2, done2 = _walk_step(i, j, mode, done, d)
+        return (i2, j2, mode2, done2), (op, cnt)
 
-    init = (i0, j0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
-            jnp.zeros((B,), jnp.int32))
-    (i, j, mode, nm, done), ops_rev = jax.lax.scan(
+    init = (i0, j0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32))
+    _, (ops_rev, cnt_rev) = jax.lax.scan(
         step, init, jnp.arange(T, dtype=jnp.int32))
-    ops_rev = ops_rev.T                                   # [B, T]
-    # path length per job, then flip to forward (left-to-right) order
-    emitted = ops_rev != 3
+    return _rle_tail(ops_rev.T, cnt_rev.T, T)
+
+
+def _walk_step(i, j, mode, done, d, m_extra=None):
+    """One traceback step (C++ preference order; see traceback_rle).
+    Returns (op 0/1/2 or 3=none, count, i', j', mode', done').
+    m_extra: optional [B] int32 of ADDITIONAL consecutive M steps
+    provable from already-gathered bits (multi-M consumption in the
+    packed walk: the diagonal move keeps the band column fixed, so the
+    next rows' dm bits live in the same packed word)."""
+    at_end = (i == 0) & (j == 0)
+    in_e = mode == 1
+    in_f = mode == 2
+    erun = (d & _ERUN) != 0
+    frun = (d & _FRUN) != 0
+    can_m = (i > 0) & (j > 0) & ((d & _DM) != 0)
+    can_d = (j > 0) & ((d & _DE) != 0)
+    can_f = (i > 0) & ((d & _DF) != 0)
+    fb_m = (i > 0) & (j > 0)
+    fb_d = j > 0
+    h_op = jnp.where(
+        can_m, 0,
+        jnp.where(can_d, 2,
+                  jnp.where(can_f, 1,
+                            jnp.where(fb_m, 0, jnp.where(fb_d, 2, 1)))))
+    op = jnp.where(in_e, 2, jnp.where(in_f, 1, h_op))
+    op = jnp.where(at_end | (done != 0), 3, op)
+    is_m = op == 0
+    is_i = op == 1
+    is_d = op == 2
+    cnt = jnp.where(op == 3, 0, 1)
+    if m_extra is not None:
+        # extend a dm-chosen M by the provable extra steps (never past
+        # i/j bounds — the caller's bits already encode in-band cells,
+        # and the walk's own bound checks apply per consumed row)
+        ext = jnp.where(is_m & (h_op == 0) & ~in_e & ~in_f,
+                        jnp.minimum(m_extra,
+                                    jnp.minimum(i - 1, j - 1)), 0)
+        ext = jnp.maximum(ext, 0)
+        cnt = cnt + ext
+    di = jnp.where(is_m | is_i, cnt, 0)
+    dj = jnp.where(is_m | is_d, cnt, 0)
+    i2 = jnp.where(done != 0, i, i - di)
+    j2 = jnp.where(done != 0, j, j - dj)
+    # next mode: D entered/continued while the CURRENT cell's ERUN bit
+    # holds; I via FRUN (C++ while conditions, checked before the final
+    # decrement)
+    enter_e = is_d & erun & ((in_e) | ((~in_e) & (~in_f)))
+    enter_f = is_i & frun & ((in_f) | ((~in_e) & (~in_f)))
+    mode2 = jnp.where(done != 0, mode,
+                      jnp.where(enter_e, 1, jnp.where(enter_f, 2, 0)))
+    done2 = jnp.maximum(done, at_end.astype(jnp.int32))
+    return op.astype(jnp.uint8), cnt.astype(jnp.int32), i2, j2, mode2, done2
+
+
+def _rle_tail(ops_rev, cnt_rev, T):
+    """Reverse the per-step (op, count) emissions into forward order and
+    run-length-encode (every pre-done step emits, so the emitted prefix
+    is contiguous and reversal is a pure index flip)."""
+    B = ops_rev.shape[0]
+    emitted = cnt_rev > 0
     L = jnp.sum(emitted.astype(jnp.int32), axis=1)
     tt = jnp.arange(T, dtype=jnp.int32)[None, :]
     src = jnp.clip(L[:, None] - 1 - tt, 0, T - 1)
     ops_fwd = jnp.take_along_axis(ops_rev, src, axis=1)
     ops_fwd = jnp.where(tt < L[:, None], ops_fwd, 3)
-    # run-length encode: run id = cumsum of boundaries
+    cnt_fwd = jnp.take_along_axis(cnt_rev, src, axis=1)
+    cnt_fwd = jnp.where(tt < L[:, None], cnt_fwd, 0)
     prev = jnp.concatenate(
         [jnp.full((B, 1), 255, ops_fwd.dtype), ops_fwd[:, :-1]], axis=1)
     boundary = (ops_fwd != prev) & (tt < L[:, None])
@@ -297,16 +307,15 @@ def _traceback_core(gather_dir, q, t2, qlen, n, dlo, K, LQ, T):
     over = n_runs > RUNS_CAP
     rid_c = jnp.clip(rid, 0, RUNS_CAP - 1)
     seg = jnp.arange(B, dtype=jnp.int32)[:, None] * RUNS_CAP + rid_c
-    valid = (tt < L[:, None]).astype(jnp.int32)
     runs_len = jax.ops.segment_sum(
-        valid.reshape(-1), seg.reshape(-1),
+        cnt_fwd.reshape(-1), seg.reshape(-1),
         num_segments=B * RUNS_CAP).reshape(B, RUNS_CAP)
     runs_op = jax.ops.segment_max(
-        jnp.where(valid.reshape(-1) > 0, ops_fwd.reshape(-1).astype(
-            jnp.int32), -1),
+        jnp.where(cnt_fwd.reshape(-1) > 0,
+                  ops_fwd.reshape(-1).astype(jnp.int32), -1),
         seg.reshape(-1), num_segments=B * RUNS_CAP).reshape(B, RUNS_CAP)
     n_runs = jnp.where(over, RUNS_CAP + 1, n_runs)
-    return runs_len, runs_op, n_runs, nm
+    return runs_len, runs_op, n_runs
 
 
 # ---- Pallas TPU kernel ----------------------------------------------------
@@ -482,22 +491,48 @@ def pallas_banded_direction(q, qlen, t2, dlo, n, K, LQ, interpret=False):
 
 @functools.partial(jax.jit, static_argnames=("K", "LQ", "T"))
 def traceback_rle_packed(dirsP, q, t2, qlen, n, dlo, K, LQ, T):
-    """traceback_rle over the Mosaic kernel's packed direction words
-    (one int32 gather per step instead of a [LQ, B, K] byte gather).
+    """traceback_rle over the Mosaic kernel's packed direction words:
+    one int32 gather per step, AND multi-M consumption — a diagonal
+    (M) move keeps the band column fixed, so the next three rows' dm
+    bits live in the already-gathered word (bytes b-1..b-3); an M step
+    extends by every provable consecutive dm, cutting the
+    latency-bound scan's step count ~3-4x in M-dominated walks.
+    Identical runs to traceback_rle (C++ checks dm FIRST at every
+    cell, so consecutive dm cells are exactly consecutive M ops).
     q/t2/qlen/n/dlo are the UNPADDED [B, ...] host-order arrays; the
     padded lanes of dirsP are simply never addressed."""
     B = q.shape[0]
+    i0 = qlen.astype(jnp.int32)
+    j0 = n.astype(jnp.int32)
 
-    def gather_dir(i, j):
+    def step(carry, tt):
+        i, j, mode, done = carry
         c = j - i - dlo
         cc = jnp.clip(c, 0, K - 1)
         g = jnp.clip((i - 1) >> 2, 0, LQ // 4 - 1) * K + cc
         word = dirsP[g, jnp.arange(B)]
-        d = (word >> (((i - 1) & 3) * 8)) & 0xFF
+        b = (i - 1) & 3
         ok = (i >= 1) & (c >= 0) & (c < K)
-        return jnp.where(ok, d, 0).astype(jnp.int32)
+        d = jnp.where(ok, (word >> (b * 8)) & 0xFF, 0).astype(jnp.int32)
 
-    return _traceback_core(gather_dir, q, t2, qlen, n, dlo, K, LQ, T)
+        def dm_at(l):
+            sh = jnp.maximum(b - l, 0) * 8
+            return (b >= l) & ((((word >> sh) & 0xFF) & _DM) != 0)
+
+        e1 = dm_at(1)
+        e2 = e1 & dm_at(2)
+        e3 = e2 & dm_at(3)
+        m_extra = jnp.where(ok, e1.astype(jnp.int32)
+                            + e2.astype(jnp.int32)
+                            + e3.astype(jnp.int32), 0)
+        op, cnt, i2, j2, mode2, done2 = _walk_step(i, j, mode, done, d,
+                                                   m_extra)
+        return (i2, j2, mode2, done2), (op, cnt)
+
+    init = (i0, j0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32))
+    _, (ops_rev, cnt_rev) = jax.lax.scan(
+        step, init, jnp.arange(T, dtype=jnp.int32))
+    return _rle_tail(ops_rev.T, cnt_rev.T, T)
 
 
 # ---- host orchestration ---------------------------------------------------
@@ -613,27 +648,28 @@ class DeviceGlobalAligner:
                     qd, md, t2, dl, nd, K=K, LQ=LQ)
             return np.asarray(score), dirs, t2, dl
 
+        accepted = []      # (out_index, row, score, cigar) pending NM
+
         def run_tb(dirs, t2, dl, accept, score_arr, K):
             mm = jax.device_put(np.where(accept, ms, 0).astype(np.int32))
             nnn = jax.device_put(np.where(accept, ns, 0).astype(np.int32))
             T = LQ + K
             if use_pallas:
-                rl, ro, nr, nm = traceback_rle_packed(
+                rl, ro, nr = traceback_rle_packed(
                     dirs, qd, t2, mm, nnn, dl, K=K, LQ=LQ, T=T)
             else:
-                rl, ro, nr, nm = traceback_rle(
+                rl, ro, nr = traceback_rle(
                     dirs, qd, t2, mm, nnn, dl, K=K, LQ=LQ, T=T)
             rl = np.asarray(rl)
             ro = np.asarray(ro)
             nr = np.asarray(nr)
-            nm = np.asarray(nm)
             for rr in np.nonzero(accept)[0]:
                 k = int(nr[rr])
                 if k == 0 or k > RUNS_CAP:
                     continue              # overflow -> host fallback
                 cigar = [(int(rl[rr, x]), _OPCHR[int(ro[rr, x])])
                          for x in range(k)]
-                out[idxs[rr]] = (int(score_arr[rr]), cigar, int(nm[rr]))
+                accepted.append((idxs[rr], rr, int(score_arr[rr]), cigar))
 
         # rung 16 for every job; acceptance precedence mirrors the host
         # ladder's check order exactly (csrc seeksv_sw_global: per rung
@@ -655,3 +691,31 @@ class DeviceGlobalAligner:
             run_tb(dirs16, t2_16, dl16, acc16, sc16, K16)
         if sound64.any():
             run_tb(dirs64, t2_64, dl64, sound64, sc64, K64)
+        if accepted:
+            # NM on the host from the runs (mismatches on M + indel
+            # bases; the device walk no longer compares bases)
+            from ..io import native
+            a_q = [q[rr, :ms[rr]] for _oi, rr, _sc, _cg in accepted]
+            a_t = [t[rr, :ns[rr]] for _oi, rr, _sc, _cg in accepted]
+            a_runs = [cg for _oi, _rr, _sc, cg in accepted]
+            if native.nm_from_runs_available():
+                nms = native.nm_from_runs(a_q, a_t, a_runs)
+            else:
+                nms = []
+                for qq, tt_, cg in zip(a_q, a_t, a_runs):
+                    qi = ti = mm_ = 0
+                    for ln, op_ in cg:
+                        if op_ == "M":
+                            mm_ += int(np.sum(qq[qi:qi + ln]
+                                              != tt_[ti:ti + ln]))
+                            qi += ln
+                            ti += ln
+                        elif op_ == "I":
+                            mm_ += ln
+                            qi += ln
+                        else:
+                            mm_ += ln
+                            ti += ln
+                    nms.append(mm_)
+            for (oi, _rr, sc, cg), nmv in zip(accepted, nms):
+                out[oi] = (sc, cg, int(nmv))
